@@ -1,0 +1,241 @@
+"""Typed configuration dataclasses for every pipeline.
+
+Replaces the literal Python param dicts of the reference
+(`SASRec/main.py:6-42`, `RQ-VAE/main.py:6-36`, `RQVAE-T5/main.py:4-35`,
+`RQVAE-T5-prefix/main.py:4-43`, `T5/main.py:5-38`) with frozen dataclasses.
+Defaults reproduce the reference configurations exactly so that quality
+parity runs need no overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh layout for pjit/shard_map.
+
+    The reference has no parallelism at all (SURVEY.md §2.5); this is the
+    added TPU-native distributed layer. ``data`` × ``model`` must divide the
+    device count; axes of size 1 are allowed.
+    """
+
+    data_axis: int = -1  # -1 → all devices on the data axis
+    model_axis: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainerConfig:
+    """Shared trainer knobs (one Trainer serves every pipeline)."""
+
+    batch_size: int = 128
+    eval_batch_size: int = 128
+    epochs: int = 100
+    lr: float = 1e-3
+    adam_betas: Tuple[float, float] = (0.9, 0.98)
+    weight_decay: float = 0.0
+    optimizer: str = "adam"  # adam | adamw | sgd | adagrad | rmsprop
+    lr_scheduler: str = "constant"  # constant | linear
+    warmup_epochs: int = 0
+    grad_clip_norm: Optional[float] = None
+    early_stop_patience: int = 10
+    seed: int = 42
+    ckpt_dir: str = "./ckpt"
+    log_path: Optional[str] = None
+    loss_plot_path: Optional[str] = None
+    results_csv_path: Optional[str] = None
+    resume: bool = False  # restore params+opt+step from latest checkpoint
+    param_dtype: str = "float32"
+    compute_dtype: str = "float32"  # bfloat16 on TPU for the large configs
+    keep_checkpoints: int = 5  # bounded retention (RQ-VAE/train.py:230-246)
+
+
+@dataclasses.dataclass(frozen=True)
+class SASRecConfig:
+    """SASRec self-attentive ranker. Mirrors `SASRec/main.py:6-42`."""
+
+    task_id: str = "task1"
+    data_path: str = "data/user_item_interact.h5"
+    max_len: int = 20
+    d: int = 16
+    num_blocks: int = 2
+    num_heads: int = 1
+    mlp_layer: int = 64
+    dropout: float = 0.2
+    layernorm_eps: float = 1e-8
+    num_neg_samples: int = 10
+    loss_eps: float = 1e-24
+    min_seq_len: int = 3
+    topk_list: Tuple[int, ...] = (2, 5, 10, 20)
+    top_k: int = 10  # reference reads params['top_k'] in evaluate.py:45 (absent
+    # from its main.py — a latent KeyError); we give it the intended default.
+    trainer: TrainerConfig = dataclasses.field(
+        default_factory=lambda: TrainerConfig(batch_size=128, eval_batch_size=128,
+                                              epochs=100, lr=1e-3)
+    )
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class RQVAEConfig:
+    """RQ-VAE residual-quantization tokenizer. Mirrors `RQ-VAE/main.py:6-36`."""
+
+    data_path: str = "data/course_item_embs.h5"
+    ckpt_dir: str = "./ckpt/course"
+    semantic_id_file: str = "data/course/course_rqvae_codes.npy"
+    in_dim: int = 768
+    num_emb_list: Tuple[int, ...] = (8, 8, 8)
+    e_dim: int = 32
+    layers: Tuple[int, ...] = (256, 128)
+    dropout: float = 0.1
+    loss_type: str = "mse"  # mse | l1
+    quant_loss_weight: float = 0.1
+    beta: float = 0.25
+    kmeans_init: bool = True
+    kmeans_iters: int = 50
+    sk_epsilons: Tuple[float, ...] = (0.01, 0.01, 0.01)
+    sk_iters: int = 50
+    collision_repair_iters: int = 30  # RQ-VAE/infer.py:108-130
+    trainer: TrainerConfig = dataclasses.field(
+        default_factory=lambda: TrainerConfig(
+            batch_size=64, epochs=100, lr=1e-3, optimizer="adamw",
+            weight_decay=1e-4, lr_scheduler="linear", warmup_epochs=5,
+            grad_clip_norm=1.0, seed=2024,
+        )
+    )
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class T5ArchConfig:
+    """Scratch T5 architecture knobs shared by TIGER / TIGER-prefix / DenseT5.
+
+    Semantics follow HF `T5Config` as instantiated at `RQVAE-T5/model.py:9-23`:
+    relative position biases, RMS layer norm, relu feed-forward, tied
+    embeddings with d_model**-0.5 logit scaling.
+    """
+
+    vocab_size: int = 64
+    num_layers: int = 2          # encoder layers
+    num_decoder_layers: int = 2
+    d_model: int = 64
+    d_ff: int = 256
+    num_heads: int = 4
+    d_kv: int = 16
+    dropout_rate: float = 0.1
+    feed_forward_proj: str = "relu"
+    layer_norm_epsilon: float = 1e-6
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
+    pad_token_id: int = 0
+    eos_token_id: int = 31  # reference wart: overlaps level-3 code range
+    # (check_data_alignment.py:103-135); kept for parity, overridable.
+    decoder_start_token_id: int = 0  # = pad (RQVAE-T5/model.py:22)
+    tie_word_embeddings: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TIGERConfig:
+    """TIGER generative retriever. Mirrors `RQVAE-T5/main.py:4-35`."""
+
+    task_id: str = "task1"
+    code_path: str = "data/course/course_rqvae_codes.npy"
+    train_dataset_path: str = "data/tiger/train_dataset.h5"
+    test_dataset_path: str = "data/tiger/test_dataset.h5"
+    arch: T5ArchConfig = dataclasses.field(default_factory=T5ArchConfig)
+    codebook_size: int = 8
+    code_dim: int = 4  # 3 RQ levels + 1 collision-disambiguation digit
+    max_len: int = 20  # history length in items → 80 input tokens
+    max_gen_len: int = 5  # decoder_start + 4 code tokens (RQVAE-T5/model.py:76)
+    beam_size: int = 5
+    topk_list: Tuple[int, ...] = (2, 5, 10, 20)
+    constrained_decoding: str = "level"  # none | level | trie
+    # "none"  = reference parity (unconstrained beam, RQVAE-T5/model.py:62-81)
+    # "level" = per-step level-range token masks
+    # "trie"  = full prefix-trie over the actual item codes (improvement)
+    trainer: TrainerConfig = dataclasses.field(
+        default_factory=lambda: TrainerConfig(batch_size=256, eval_batch_size=256,
+                                              epochs=500, lr=1e-3)
+    )
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class TIGERPrefixConfig:
+    """Prefix-conditioned TIGER. Mirrors `RQVAE-T5-prefix/main.py:4-43`."""
+
+    task_id: str = "task1"
+    code_path: str = "data/course/course_rqvae_codes.npy"
+    train_dataset_path: str = "data/tiger/train_dataset.h5"
+    test_dataset_path: str = "data/tiger/test_dataset.h5"
+    prof_lvl_paths: Tuple[str, str, str] = (
+        "data/prof_lvl1.h5", "data/prof_lvl2.h5", "data/prof_lvl3.h5",
+    )
+    arch: T5ArchConfig = dataclasses.field(
+        default_factory=lambda: T5ArchConfig(
+            d_model=128, num_decoder_layers=4, num_heads=8, d_kv=16, d_ff=256,
+        )
+    )
+    bert_dim: int = 768
+    num_prof_vectors: int = 5  # top-5 majors per level (prof_lvl*.h5 contract)
+    codebook_size: int = 8
+    code_dim: int = 4
+    max_len: int = 20
+    max_gen_len: int = 5
+    beam_size: int = 5
+    topk_list: Tuple[int, ...] = (2, 5, 10, 20)
+    constrained_decoding: str = "level"
+    trainer: TrainerConfig = dataclasses.field(
+        default_factory=lambda: TrainerConfig(batch_size=256, eval_batch_size=256,
+                                              epochs=500, lr=1e-3)
+    )
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseT5Config:
+    """Dense-retrieval T5 encoder. Mirrors `T5/main.py:5-38`."""
+
+    task_id: str = "task1"
+    rec_path: str = "data/user_item_interact.h5"
+    item_emb_h5_path: str = "data/course_item_embs.h5"
+    user_emb_h5_path: str = "data/user_profile_embs.h5"
+    arch: T5ArchConfig = dataclasses.field(
+        default_factory=lambda: T5ArchConfig(
+            d_model=512, num_layers=2, num_heads=4, d_kv=16, d_ff=256,
+            dropout_rate=0.3,
+        )
+    )
+    input_emb_dim: int = 768
+    target_emb_dim: int = 768
+    temperature: float = 0.07
+    max_seq_len: int = 20
+    topk_list: Tuple[int, ...] = (2, 5, 10, 20)
+    trainer: TrainerConfig = dataclasses.field(
+        default_factory=lambda: TrainerConfig(batch_size=256, eval_batch_size=256,
+                                              epochs=100, lr=1e-3)
+    )
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+
+@dataclasses.dataclass(frozen=True)
+class ShardedEmbeddingConfig:
+    """Row-sharded embedding/codebook tables over the mesh 'model' axis.
+
+    The scaled-synthetic north-star path (BASELINE.json config 5): 10M-item
+    tables with all_to_all ID-partition exchange. Not present in the
+    reference (it keeps full nn.Embedding per device, SASRec/model.py:18).
+    """
+
+    vocab_size: int = 10_000_000
+    dim: int = 64
+    ids_per_device_capacity: int = 8192  # fixed all_to_all bucket capacity
+    dtype: str = "float32"
+
+
+def replace(cfg, **kw):
+    """Functional config override: `replace(SASRecConfig(), d=64)`."""
+    return dataclasses.replace(cfg, **kw)
