@@ -1,0 +1,291 @@
+"""Scratch T5 encoder-decoder in Flax (no HF dependency).
+
+Architecture semantics follow HF `T5ForConditionalGeneration` as configured
+by the reference (`RQVAE-T5/model.py:9-23`): RMS layer norm (no bias/mean),
+relative-position bucket biases (shared from block 0 of each stack,
+bidirectional for the encoder only), bias-free Dense projections, no
+1/sqrt(d) attention scaling, relu feed-forward, tied embeddings with
+d_model**-0.5 logit rescaling, dropout on sublayer outputs and attention
+weights, decoder_start = pad.
+
+TPU-first notes:
+- everything is static-shape and jit-friendly; the decoder is re-run over
+  the fixed-width target buffer per generation step (max_gen_len is 5 at
+  the reference scale, so KV caching is not the bottleneck — the beam
+  search in `genrec_tpu.ops.beam_search` batches beams into the batch dim
+  so the MXU sees one big matmul).
+- the attention inner product runs through
+  `genrec_tpu.ops.attention.dot_product_attention` (XLA fusion at parity
+  scale, Pallas flash kernel at long-sequence scale) with the T5 no-scale
+  convention restored by pre-scaling q.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from genrec_tpu.configs import T5ArchConfig
+from genrec_tpu.ops.attention import dot_product_attention
+
+_NEG_INF = -1e9
+
+
+class RMSNorm(nn.Module):
+    """T5LayerNorm: scale-only RMS normalization."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        weight = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        x = x * jax.lax.rsqrt(var + self.eps)
+        return (weight * x).astype(x.dtype)
+
+
+def relative_position_bucket(relative_position, *, bidirectional: bool,
+                             num_buckets: int, max_distance: int):
+    """HF T5 bucket function (memory_pos - query_pos → bucket id)."""
+    ret = jnp.zeros_like(relative_position)
+    if bidirectional:
+        num_buckets //= 2
+        ret += (relative_position > 0).astype(jnp.int32) * num_buckets
+        rel = jnp.abs(relative_position)
+    else:
+        rel = -jnp.minimum(relative_position, 0)
+    max_exact = num_buckets // 2
+    is_small = rel < max_exact
+    rel_if_large = max_exact + (
+        jnp.log(jnp.maximum(rel, 1).astype(jnp.float32) / max_exact)
+        / jnp.log(max_distance / max_exact) * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    rel_if_large = jnp.minimum(rel_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, rel, rel_if_large)
+
+
+class RelativePositionBias(nn.Module):
+    cfg: T5ArchConfig
+    bidirectional: bool
+
+    @nn.compact
+    def __call__(self, qlen: int, klen: int):
+        table = self.param(
+            "rel_embedding",
+            nn.initializers.normal(stddev=(self.cfg.d_model // self.cfg.num_heads) ** -0.5),
+            (self.cfg.relative_attention_num_buckets, self.cfg.num_heads))
+        ctx = jnp.arange(qlen)[:, None]
+        mem = jnp.arange(klen)[None, :]
+        buckets = relative_position_bucket(
+            mem - ctx, bidirectional=self.bidirectional,
+            num_buckets=self.cfg.relative_attention_num_buckets,
+            max_distance=self.cfg.relative_attention_max_distance)
+        bias = jnp.take(table, buckets, axis=0)  # (q, k, heads)
+        return bias.transpose(2, 0, 1)[None]     # (1, heads, q, k)
+
+
+class T5Attention(nn.Module):
+    cfg: T5ArchConfig
+
+    @nn.compact
+    def __call__(self, x, kv, bias, *, deterministic: bool = True):
+        c = self.cfg
+        inner = c.num_heads * c.d_kv
+        dense = lambda name: nn.Dense(inner, use_bias=False, name=name,
+                                      kernel_init=nn.initializers.normal(
+                                          stddev=(c.d_model * c.d_kv) ** -0.5))
+        q = dense("q")(x)
+        k = nn.Dense(inner, use_bias=False, name="k",
+                     kernel_init=nn.initializers.normal(stddev=c.d_model ** -0.5))(kv)
+        v = nn.Dense(inner, use_bias=False, name="v",
+                     kernel_init=nn.initializers.normal(stddev=c.d_model ** -0.5))(kv)
+        b, lq, _ = q.shape
+        lk = k.shape[1]
+        qh = q.reshape(b, lq, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
+        kh = k.reshape(b, lk, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
+        vh = v.reshape(b, lk, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
+        if not deterministic and c.dropout_rate > 0.0:
+            # attention-weight dropout (HF T5Attention): explicit-probs XLA
+            # path so the dropout mask applies to the softmax weights.
+            # T5 convention: unscaled dot product.
+            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                                preferred_element_type=jnp.float32)
+            if bias is not None:
+                logits = logits + bias
+            probs = jax.nn.softmax(logits, axis=-1)
+            probs = nn.Dropout(c.dropout_rate, deterministic=False)(probs)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(vh.dtype), vh)
+        else:
+            # T5 uses an unscaled dot product; dot_product_attention divides
+            # by sqrt(d_kv), so pre-scale q to cancel it.
+            out = dot_product_attention(qh * (c.d_kv ** 0.5), kh, vh, bias,
+                                        causal=False)
+        out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
+        return nn.Dense(c.d_model, use_bias=False, name="o",
+                        kernel_init=nn.initializers.normal(stddev=inner ** -0.5))(out)
+
+
+class T5FeedForward(nn.Module):
+    cfg: T5ArchConfig
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        c = self.cfg
+        h = nn.Dense(c.d_ff, use_bias=False, name="wi",
+                     kernel_init=nn.initializers.normal(stddev=c.d_model ** -0.5))(x)
+        if c.feed_forward_proj == "relu":
+            h = nn.relu(h)
+        elif c.feed_forward_proj in ("gelu", "gated-gelu"):
+            h = nn.gelu(h)
+        else:
+            raise ValueError(c.feed_forward_proj)
+        h = nn.Dropout(c.dropout_rate, deterministic=deterministic)(h)
+        return nn.Dense(c.d_model, use_bias=False, name="wo",
+                        kernel_init=nn.initializers.normal(stddev=c.d_ff ** -0.5))(h)
+
+
+class T5Block(nn.Module):
+    cfg: T5ArchConfig
+    is_decoder: bool
+
+    @nn.compact
+    def __call__(self, x, self_bias, enc_out=None, cross_mask=None, *,
+                 deterministic: bool = True):
+        c = self.cfg
+        drop = lambda t: nn.Dropout(c.dropout_rate,
+                                    deterministic=deterministic)(t)
+        h = RMSNorm(c.layer_norm_epsilon, name="self_norm")(x)
+        x = x + drop(T5Attention(c, name="self_attn")(
+            h, h, self_bias, deterministic=deterministic))
+        if self.is_decoder and enc_out is not None:
+            h = RMSNorm(c.layer_norm_epsilon, name="cross_norm")(x)
+            x = x + drop(T5Attention(c, name="cross_attn")(
+                h, enc_out, cross_mask, deterministic=deterministic))
+        h = RMSNorm(c.layer_norm_epsilon, name="ff_norm")(x)
+        x = x + drop(T5FeedForward(c, name="ff")(h, deterministic=deterministic))
+        return x
+
+
+def _extend_mask(attention_mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, Lk) 1/0 mask → additive (B, 1, 1, Lk) bias."""
+    return (1.0 - attention_mask[:, None, None, :].astype(jnp.float32)) * _NEG_INF
+
+
+def _causal_bias(length: int) -> jnp.ndarray:
+    row = jax.lax.broadcasted_iota(jnp.int32, (length, length), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (length, length), 1)
+    return jnp.where(col > row, _NEG_INF, 0.0)[None, None]
+
+
+class T5Stack(nn.Module):
+    cfg: T5ArchConfig
+    num_layers: int
+    is_decoder: bool
+
+    @nn.compact
+    def __call__(self, inputs_embeds, attention_mask=None, enc_out=None,
+                 enc_mask=None, *, deterministic: bool = True):
+        c = self.cfg
+        lq = inputs_embeds.shape[1]
+        rel_bias = RelativePositionBias(
+            c, bidirectional=not self.is_decoder, name="rel_bias")(lq, lq)
+        self_bias = rel_bias
+        if self.is_decoder:
+            self_bias = self_bias + _causal_bias(lq)
+        if attention_mask is not None:
+            self_bias = self_bias + _extend_mask(attention_mask)
+        cross_mask = _extend_mask(enc_mask) if enc_mask is not None else None
+
+        x = nn.Dropout(c.dropout_rate, deterministic=deterministic)(inputs_embeds)
+        for i in range(self.num_layers):
+            x = T5Block(c, self.is_decoder, name=f"block_{i}")(
+                x, self_bias, enc_out, cross_mask, deterministic=deterministic)
+        x = RMSNorm(c.layer_norm_epsilon, name="final_norm")(x)
+        return nn.Dropout(c.dropout_rate, deterministic=deterministic)(x)
+
+
+def shift_right(labels: jnp.ndarray, decoder_start: int, pad_id: int) -> jnp.ndarray:
+    """HF `_shift_right`: prepend decoder_start, drop last, -100 → pad."""
+    shifted = jnp.concatenate(
+        [jnp.full((labels.shape[0], 1), decoder_start, labels.dtype),
+         labels[:, :-1]], axis=1)
+    return jnp.where(shifted == -100, pad_id, shifted)
+
+
+class T5EncoderDecoder(nn.Module):
+    cfg: T5ArchConfig
+
+    def setup(self):
+        c = self.cfg
+        self.shared = nn.Embed(c.vocab_size, c.d_model,
+                               embedding_init=nn.initializers.normal(1.0))
+        self.encoder = T5Stack(c, c.num_layers, is_decoder=False)
+        self.decoder = T5Stack(c, c.num_decoder_layers, is_decoder=True)
+
+    def encode(self, input_ids=None, attention_mask=None, inputs_embeds=None,
+               *, deterministic: bool = True):
+        if inputs_embeds is None:
+            inputs_embeds = self.shared(input_ids)
+        return self.encoder(inputs_embeds, attention_mask,
+                            deterministic=deterministic)
+
+    def decode(self, decoder_input_ids, enc_out, enc_mask=None, *,
+               deterministic: bool = True):
+        x = self.shared(decoder_input_ids)
+        x = self.decoder(x, None, enc_out, enc_mask, deterministic=deterministic)
+        return self.lm_logits(x)
+
+    def lm_logits(self, hidden):
+        c = self.cfg
+        if c.tie_word_embeddings:
+            hidden = hidden * (c.d_model ** -0.5)
+            return jnp.dot(hidden, self.shared.embedding.T,
+                           preferred_element_type=jnp.float32)
+        raise NotImplementedError("untied lm_head not needed at parity scale")
+
+    def __call__(self, input_ids=None, attention_mask=None, labels=None,
+                 inputs_embeds=None, *, deterministic: bool = True):
+        """Returns (loss, logits) like `RQVAE-T5/model.py:42-60`."""
+        c = self.cfg
+        enc_out = self.encode(input_ids, attention_mask, inputs_embeds,
+                              deterministic=deterministic)
+        decoder_input_ids = shift_right(labels, c.decoder_start_token_id,
+                                        c.pad_token_id)
+        logits = self.decode(decoder_input_ids, enc_out, attention_mask,
+                             deterministic=deterministic)
+        loss = cross_entropy_with_ignore(logits, labels)
+        return loss, logits
+
+
+def cross_entropy_with_ignore(logits: jnp.ndarray, labels: jnp.ndarray,
+                              ignore_index: int = -100) -> jnp.ndarray:
+    """Mean CE over non-ignored targets (HF labels convention)."""
+    valid = labels != ignore_index
+    safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+
+
+class T5Encoder(nn.Module):
+    """Encoder-only stack (HF `T5EncoderModel`, used by DenseT5)."""
+
+    cfg: T5ArchConfig
+
+    def setup(self):
+        c = self.cfg
+        self.shared = nn.Embed(c.vocab_size, c.d_model,
+                               embedding_init=nn.initializers.normal(1.0))
+        self.encoder = T5Stack(c, c.num_layers, is_decoder=False)
+
+    def __call__(self, input_ids=None, attention_mask=None, inputs_embeds=None,
+                 *, deterministic: bool = True):
+        if inputs_embeds is None:
+            inputs_embeds = self.shared(input_ids)
+        return self.encoder(inputs_embeds, attention_mask,
+                            deterministic=deterministic)

@@ -1,0 +1,96 @@
+"""TIGER: generative retrieval over semantic-ID sequences.
+
+Equivalent of `RQVAE-T5/model.py:7-81`: a scratch-config T5 encoder-decoder
+over the 64-token offset-code vocabulary, trained with HF-style label CE
+(-100 padding), evaluated with beam search returning ``num_beams``
+sequences per sample (max_length 5).
+
+The generate path uses `genrec_tpu.ops.beam_search` — fixed-shape, jittable,
+with optional level/trie constrained decoding (the reference decodes
+unconstrained; ``constrained_decoding='none'`` reproduces that exactly).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from genrec_tpu.configs import TIGERConfig
+from genrec_tpu.data import tiger_tokens
+from genrec_tpu.models.t5 import T5EncoderDecoder
+from genrec_tpu.ops.beam_search import ConstraintSpec, beam_search
+
+
+class TIGER(nn.Module):
+    cfg: TIGERConfig
+
+    def setup(self):
+        self.model = T5EncoderDecoder(self.cfg.arch)
+
+    def __call__(self, input_ids, attention_mask=None, labels=None, *,
+                 deterministic: bool = True):
+        """(loss, logits) like `RQVAE-T5/model.py:42-60`."""
+        return self.model(input_ids, attention_mask, labels,
+                          deterministic=deterministic)
+
+    def encode(self, input_ids, attention_mask=None):
+        return self.model.encode(input_ids, attention_mask, deterministic=True)
+
+    def decode(self, decoder_input_ids, enc_out, enc_mask=None):
+        return self.model.decode(decoder_input_ids, enc_out, enc_mask,
+                                 deterministic=True)
+
+
+def make_constraint(cfg: TIGERConfig,
+                    codes: Optional[jnp.ndarray] = None) -> ConstraintSpec:
+    """Build the static decode-constraint spec for a TIGER config."""
+    a = cfg.arch
+    steps = cfg.max_gen_len - 1
+    if cfg.constrained_decoding == "none":
+        return ConstraintSpec(mode="none")
+    if cfg.constrained_decoding == "level":
+        masks = tiger_tokens.build_level_masks(a.vocab_size, cfg.codebook_size,
+                                               steps)
+        return ConstraintSpec(mode="level", level_masks=jnp.asarray(masks))
+    if cfg.constrained_decoding == "trie":
+        assert codes is not None, "trie mode needs the item code table"
+        trie = tiger_tokens.build_code_trie(codes, a.vocab_size,
+                                            cfg.codebook_size)
+        offsets = tiger_tokens.trie_prefix_offsets(cfg.codebook_size, steps)
+        return ConstraintSpec(mode="trie", trie=jnp.asarray(trie),
+                              trie_offsets=jnp.asarray(offsets),
+                              codebook_size=cfg.codebook_size)
+    raise ValueError(cfg.constrained_decoding)
+
+
+def generate(model: TIGER, params, input_ids, attention_mask, *,
+             num_beams: int, constraint: Optional[ConstraintSpec] = None):
+    """Beam-search generation: (B, num_beams, max_gen_len) incl. start token.
+
+    Matches `RQVAE-T5/model.py:62-81` semantics (num_return_sequences =
+    num_beams, max_length = cfg.max_gen_len).
+    """
+    cfg = model.cfg
+    B = input_ids.shape[0]
+    enc_out = model.apply(params, input_ids, attention_mask,
+                          method=TIGER.encode)
+    enc_rep = jnp.repeat(enc_out, num_beams, axis=0)
+    mask_rep = (jnp.repeat(attention_mask, num_beams, axis=0)
+                if attention_mask is not None else None)
+
+    def decode_fn(tokens):
+        return model.apply(params, tokens, enc_rep, mask_rep,
+                           method=TIGER.decode)
+
+    tokens, scores = beam_search(
+        decode_fn, B, num_beams, cfg.max_gen_len, cfg.arch.vocab_size,
+        decoder_start=cfg.arch.decoder_start_token_id,
+        pad_token=cfg.arch.pad_token_id,
+        eos_token=cfg.arch.eos_token_id,
+        constraint=constraint,
+    )
+    return tokens, scores

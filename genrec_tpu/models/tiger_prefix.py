@@ -1,0 +1,129 @@
+"""TIGER-prefix: prefix-conditioned generative retrieval.
+
+Equivalent of `RQVAE-T5-prefix/model.py:8-210`: three ``ProfessionalAdapter``
+cross-attention modules (one per major-hierarchy level) each produce one
+prefix token from (student token embeddings × top-5 major BERT vectors);
+the 3 prefix tokens are prepended to the encoder ``inputs_embeds`` with an
+extended attention mask, for both training and generation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from genrec_tpu.configs import TIGERPrefixConfig
+from genrec_tpu.models.t5 import T5EncoderDecoder, cross_entropy_with_ignore, shift_right
+from genrec_tpu.ops.attention import multi_head_attention
+from genrec_tpu.ops.beam_search import ConstraintSpec, beam_search
+
+
+class ProfessionalAdapter(nn.Module):
+    """Cross-attention adapter → one prefix token
+    (`RQVAE-T5-prefix/model.py:8-48`): Q = student embeddings,
+    K = V = projected BERT vectors; post-norm residuals; GELU FFN ×4;
+    mean-pool over sequence to a single token."""
+
+    d_model: int
+    num_heads: int
+    dropout: float
+
+    @nn.compact
+    def __call__(self, student_hidden, bert_vecs, *, deterministic: bool = True):
+        kv = nn.Dense(self.d_model, name="bert_proj")(bert_vecs)  # (B, 5, d)
+        q = nn.Dense(self.d_model, name="q_proj")(student_hidden)
+        k = nn.Dense(self.d_model, name="k_proj")(kv)
+        v = nn.Dense(self.d_model, name="v_proj")(kv)
+        attn = multi_head_attention(q, k, v, num_heads=self.num_heads)
+        attn = nn.Dense(self.d_model, name="out_proj")(attn)
+        x = nn.LayerNorm(name="norm1")(student_hidden + attn)
+        h = nn.Dense(self.d_model * 4, name="ffn_in")(x)
+        h = nn.gelu(h)
+        h = nn.Dense(self.d_model, name="ffn_out")(h)
+        x = nn.LayerNorm(name="norm2")(x + h)
+        return jnp.mean(x, axis=1, keepdims=True)  # (B, 1, d)
+
+
+class TIGERPrefix(nn.Module):
+    cfg: TIGERPrefixConfig
+
+    def setup(self):
+        c = self.cfg
+        self.model = T5EncoderDecoder(c.arch)
+        self.adapters = [
+            ProfessionalAdapter(c.arch.d_model, c.arch.num_heads,
+                                c.arch.dropout_rate, name=f"adapter_lvl{i+1}")
+            for i in range(3)
+        ]
+
+    def build_prefix_inputs(self, input_ids, attention_mask, prof_lvl1,
+                            prof_lvl2, prof_lvl3, *, deterministic: bool = True):
+        """Embed ids, compute 3 prefix tokens, prepend
+        (`RQVAE-T5-prefix/model.py:96-124`)."""
+        embeds = self.model.shared(input_ids)  # (B, L, d)
+        prefixes = [ad(embeds, prof, deterministic=deterministic)
+                    for ad, prof in zip(self.adapters,
+                                        (prof_lvl1, prof_lvl2, prof_lvl3))]
+        inputs_embeds = jnp.concatenate(prefixes + [embeds], axis=1)
+        if attention_mask is not None:
+            ones = jnp.ones((input_ids.shape[0], 3), attention_mask.dtype)
+            attention_mask = jnp.concatenate([ones, attention_mask], axis=1)
+        return inputs_embeds, attention_mask
+
+    def __call__(self, input_ids, attention_mask=None, labels=None,
+                 prof_lvl1=None, prof_lvl2=None, prof_lvl3=None, *,
+                 deterministic: bool = True):
+        c = self.cfg.arch
+        if prof_lvl1 is not None:
+            inputs_embeds, attention_mask = self.build_prefix_inputs(
+                input_ids, attention_mask, prof_lvl1, prof_lvl2, prof_lvl3,
+                deterministic=deterministic)
+            enc_out = self.model.encode(None, attention_mask, inputs_embeds,
+                                        deterministic=deterministic)
+        else:
+            enc_out = self.model.encode(input_ids, attention_mask,
+                                        deterministic=deterministic)
+        dec_in = shift_right(labels, c.decoder_start_token_id, c.pad_token_id)
+        logits = self.model.decode(dec_in, enc_out, attention_mask,
+                                   deterministic=deterministic)
+        return cross_entropy_with_ignore(logits, labels), logits
+
+    def encode_with_prefix(self, input_ids, attention_mask, prof_lvl1,
+                           prof_lvl2, prof_lvl3):
+        inputs_embeds, attention_mask = self.build_prefix_inputs(
+            input_ids, attention_mask, prof_lvl1, prof_lvl2, prof_lvl3,
+            deterministic=True)
+        enc_out = self.model.encode(None, attention_mask, inputs_embeds,
+                                    deterministic=True)
+        return enc_out, attention_mask
+
+    def decode(self, decoder_input_ids, enc_out, enc_mask=None):
+        return self.model.decode(decoder_input_ids, enc_out, enc_mask,
+                                 deterministic=True)
+
+
+def generate(model: TIGERPrefix, params, input_ids, attention_mask,
+             prof_lvl1, prof_lvl2, prof_lvl3, *, num_beams: int,
+             constraint: Optional[ConstraintSpec] = None):
+    """Prefix-conditioned beam generation (`RQVAE-T5-prefix/model.py:168-210`)."""
+    cfg = model.cfg
+    B = input_ids.shape[0]
+    enc_out, ext_mask = model.apply(
+        params, input_ids, attention_mask, prof_lvl1, prof_lvl2, prof_lvl3,
+        method=TIGERPrefix.encode_with_prefix)
+    enc_rep = jnp.repeat(enc_out, num_beams, axis=0)
+    mask_rep = jnp.repeat(ext_mask, num_beams, axis=0) if ext_mask is not None else None
+
+    def decode_fn(tokens):
+        return model.apply(params, tokens, enc_rep, mask_rep,
+                           method=TIGERPrefix.decode)
+
+    return beam_search(
+        decode_fn, B, num_beams, cfg.max_gen_len, cfg.arch.vocab_size,
+        decoder_start=cfg.arch.decoder_start_token_id,
+        pad_token=cfg.arch.pad_token_id,
+        eos_token=cfg.arch.eos_token_id,
+        constraint=constraint,
+    )

@@ -1,0 +1,170 @@
+"""Attention ops: a blockwise Pallas flash-attention TPU kernel with an XLA
+fallback, plus the plain multi-head wrapper used by every model tower.
+
+Design notes (TPU-first):
+- The kernel is *blockwise* over the query/key sequence (online softmax),
+  so context-parallel extensions (ring attention) can slot in later without
+  changing the math — SURVEY.md §5 "long-context" note.
+- At the reference parity scale (seq ≤ 80, d ≤ 128) XLA's fused attention is
+  already near speed-of-light, so the wrapper picks the kernel only when
+  shapes are large enough to amortize it; both paths are numerically
+  equivalent (tested against each other).
+- Replaces `torch.nn.MultiheadAttention` usage of the reference
+  (`SASRec/model.py:28-30`, `RQVAE-T5-prefix/model.py:21-23`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _xla_attention(q, k, v, bias, causal):
+    """Reference XLA path. q,k,v: (B, H, L, D); bias: (B|1, H|1, Lq, Lk)."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    logits = logits / jnp.sqrt(jnp.asarray(d, jnp.float32))
+    if bias is not None:
+        logits = logits + bias
+    if causal:
+        lq, lk = logits.shape[-2], logits.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
+        logits = jnp.where(col > row + (lk - lq), _NEG_INF, logits)
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32).astype(v.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention
+# ---------------------------------------------------------------------------
+
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, causal: bool,
+                  block_k: int, sm_scale: float):
+    """One (batch*head, q-block) program: online-softmax over k blocks."""
+    q = q_ref[0].astype(jnp.float32) * sm_scale          # (block_q, d)
+    block_q = q.shape[0]
+    lk = k_ref.shape[1]
+    num_kb = lk // block_k
+    qi = pl.program_id(1)
+
+    def body(kb, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if bias_ref is not None:
+            s = s + bias_ref[0, :, pl.ds(kb * block_k, block_k)].astype(jnp.float32)
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            abs_row = row + qi * block_q
+            abs_col = col + kb * block_k
+            s = jnp.where(abs_col > abs_row, _NEG_INF, s)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    d = q_ref.shape[-1]
+    init = (jnp.zeros((block_q, d), jnp.float32),
+            jnp.full((block_q, 1), _NEG_INF, jnp.float32),
+            jnp.zeros((block_q, 1), jnp.float32))
+    if causal:
+        # skip fully-masked k blocks beyond the diagonal
+        last_kb = jnp.minimum(num_kb, (qi + 1) * block_q // block_k + 1)
+    else:
+        last_kb = num_kb
+    acc, _, l = jax.lax.fori_loop(0, last_kb, body, init)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def flash_attention(q, k, v, bias=None, *, causal: bool = False,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: bool = False):
+    """Blockwise flash attention. q,k,v: (B, H, L, D), D and L multiples of
+    the block sizes (caller pads). bias: optional (B, H, Lq, Lk) additive.
+    """
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    assert lq % block_q == 0 and lk % block_k == 0, (lq, lk)
+    sm_scale = 1.0 / (d ** 0.5)
+    bh = b * h
+    qr = q.reshape(bh, lq, d)
+    kr = k.reshape(bh, lk, d)
+    vr = v.reshape(bh, lk, d)
+    in_specs = [
+        pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [qr, kr, vr]
+    if bias is not None:
+        bias_b = jnp.broadcast_to(bias, (b, h, lq, lk)).reshape(bh, lq, lk)
+        in_specs.append(pl.BlockSpec((1, block_q, lk), lambda i, j: (i, j, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(bias_b)
+        kernel = functools.partial(_flash_kernel, causal=causal,
+                                   block_k=block_k, sm_scale=sm_scale)
+    else:
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, causal=causal,
+                          block_k=block_k, sm_scale=sm_scale)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bh, lq // block_q),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(b, h, lq, d)
+
+
+def _use_pallas(lq: int, lk: int, d: int) -> bool:
+    """Heuristic: only dispatch to the kernel on TPU at sizes where the
+    blockwise pipeline beats XLA's fusion (long sequences)."""
+    if jax.default_backend() not in ("tpu",):
+        return False
+    return lq >= 256 and lk >= 256 and lq % 128 == 0 and lk % 128 == 0
+
+
+def dot_product_attention(q, k, v, bias=None, *, causal: bool = False,
+                          force_pallas: Optional[bool] = None,
+                          interpret: bool = False):
+    """(B, H, L, D) attention with optional additive bias and causal mask."""
+    use = _use_pallas(q.shape[2], k.shape[2], q.shape[3]) if force_pallas is None \
+        else force_pallas
+    if use:
+        return flash_attention(q, k, v, bias, causal=causal, interpret=interpret)
+    return _xla_attention(q, k, v, bias, causal)
+
+
+def multi_head_attention(q, k, v, *, num_heads: int, bias=None,
+                         causal: bool = False):
+    """Split (B, L, H*D) projections into heads, attend, and merge back."""
+    b, lq, dm = q.shape
+    lk = k.shape[1]
+    dh = dm // num_heads
+    qh = q.reshape(b, lq, num_heads, dh).transpose(0, 2, 1, 3)
+    kh = k.reshape(b, lk, num_heads, dh).transpose(0, 2, 1, 3)
+    vh = v.reshape(b, lk, num_heads, dh).transpose(0, 2, 1, 3)
+    out = dot_product_attention(qh, kh, vh, bias, causal=causal)
+    return out.transpose(0, 2, 1, 3).reshape(b, lq, dm)

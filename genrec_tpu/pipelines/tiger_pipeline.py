@@ -1,0 +1,136 @@
+"""TIGER pipeline: train → beam-search eval → results CSV.
+
+Equivalent of `python RQVAE-T5/main.py` (train `RQVAE-T5/train.py:62-151`,
+eval `RQVAE-T5/evaluate.py:12-125`), on the shared Trainer with the
+fixed-shape jit beam search of `genrec_tpu.ops.beam_search`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genrec_tpu.configs import TIGERConfig
+from genrec_tpu.data import datasets
+from genrec_tpu.data.contracts import read_codes, read_tiger_split
+from genrec_tpu.eval.evaluator import beam_evaluate
+from genrec_tpu.models import tiger as tiger_mod
+from genrec_tpu.models.tiger import TIGER
+from genrec_tpu.train.trainer import Trainer, TrainLoopResult
+from genrec_tpu.utils.csv_results import append_results_csv
+
+
+@dataclasses.dataclass
+class TIGERArtifacts:
+    params: Dict
+    result: TrainLoopResult
+
+
+def _loss_fn(model: TIGER):
+    def loss_fn(params, batch, rng):
+        labels = batch["labels"]
+        valid_rows = batch["valid"]
+        # padded rows: neutralize by setting their labels to -100
+        labels = jnp.where(valid_rows[:, None], labels, -100)
+        loss, _ = model.apply(params, batch["input_ids"],
+                              batch["attention_mask"], labels,
+                              deterministic=False, rngs={"dropout": rng})
+        n_valid = jnp.sum((labels != -100).astype(jnp.float32))
+        return loss, {"sum_loss": loss * n_valid, "valid": n_valid}
+
+    def val_fn(params, batch, rng):
+        labels = jnp.where(batch["valid"][:, None], batch["labels"], -100)
+        loss, _ = model.apply(params, batch["input_ids"],
+                              batch["attention_mask"], labels,
+                              deterministic=True)
+        n_valid = jnp.sum((labels != -100).astype(jnp.float32))
+        return loss, {"sum_loss": loss * n_valid, "valid": n_valid}
+
+    return loss_fn, val_fn
+
+
+def train(cfg: TIGERConfig,
+          train_arrays: Optional[datasets.TigerArrays] = None,
+          test_arrays: Optional[datasets.TigerArrays] = None) -> TIGERArtifacts:
+    if train_arrays is None:
+        train_arrays = datasets.build_tiger_arrays(
+            read_tiger_split(cfg.train_dataset_path), cfg.max_len, cfg.code_dim)
+    if test_arrays is None:
+        test_arrays = datasets.build_tiger_arrays(
+            read_tiger_split(cfg.test_dataset_path), cfg.max_len, cfg.code_dim,
+            max_target_items=1)
+
+    model = TIGER(cfg)
+    seq_tokens = cfg.max_len * cfg.code_dim
+    params = model.init(jax.random.PRNGKey(cfg.trainer.seed),
+                        jnp.zeros((1, seq_tokens), jnp.int32),
+                        jnp.ones((1, seq_tokens), jnp.int32),
+                        jnp.ones((1, cfg.code_dim), jnp.int32))
+    loss_fn, val_fn = _loss_fn(model)
+
+    tcfg = cfg.trainer
+    steps = datasets.num_batches(len(train_arrays.input_ids), tcfg.batch_size)
+    trainer = Trainer(tcfg, init_params=params, loss_fn=loss_fn,
+                      eval_loss_fn=val_fn, steps_per_epoch=steps,
+                      logger_name="tiger")
+    result = trainer.fit(
+        lambda epoch: datasets.iterate_batches(
+            train_arrays.arrays, tcfg.batch_size, shuffle=True,
+            seed=tcfg.seed + epoch),
+        lambda epoch: datasets.iterate_batches(
+            test_arrays.arrays, tcfg.eval_batch_size, shuffle=False),
+    )
+    return TIGERArtifacts(params=result.best_params, result=result)
+
+
+def evaluate(cfg: TIGERConfig, artifacts: TIGERArtifacts,
+             test_arrays: Optional[datasets.TigerArrays] = None,
+             codes: Optional[np.ndarray] = None) -> Dict[str, float]:
+    """Beam-search eval (`RQVAE-T5/utils.py:44-91` semantics)."""
+    if test_arrays is None:
+        test_arrays = datasets.build_tiger_arrays(
+            read_tiger_split(cfg.test_dataset_path), cfg.max_len, cfg.code_dim,
+            max_target_items=1)
+    if codes is None and cfg.constrained_decoding == "trie":
+        codes = read_codes(cfg.code_path)
+
+    model = TIGER(cfg)
+    constraint = tiger_mod.make_constraint(cfg, codes)
+    actual_beams = max(max(cfg.topk_list), cfg.beam_size)
+
+    gen = jax.jit(functools.partial(
+        tiger_mod.generate, model, num_beams=actual_beams,
+        constraint=constraint),
+        static_argnames=())
+
+    def generate_fn(batch, num_beams):
+        toks, _ = gen(artifacts.params, jnp.asarray(batch["input_ids"]),
+                      jnp.asarray(batch["attention_mask"]))
+        return toks
+
+    metrics = beam_evaluate(
+        generate_fn,
+        datasets.iterate_batches(test_arrays.arrays, cfg.trainer.eval_batch_size,
+                                 shuffle=False),
+        cfg.topk_list, cfg.beam_size,
+    )
+    if cfg.trainer.results_csv_path:
+        a = cfg.arch
+        row = {"task_id": cfg.task_id, "num_layers": a.num_layers,
+               "num_decoder_layers": a.num_decoder_layers, "d_model": a.d_model,
+               "d_ff": a.d_ff, "num_heads": a.num_heads, "d_kv": a.d_kv,
+               "dropout_rate": a.dropout_rate, "lr": cfg.trainer.lr,
+               "batch_size": cfg.trainer.batch_size, "beam_size": cfg.beam_size,
+               "constrained": cfg.constrained_decoding, **metrics}
+        append_results_csv(cfg.trainer.results_csv_path, row)
+    return metrics
+
+
+def main(cfg: TIGERConfig = TIGERConfig()):
+    artifacts = train(cfg)
+    return evaluate(cfg, artifacts)

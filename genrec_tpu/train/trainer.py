@@ -1,0 +1,212 @@
+"""The one Trainer shared by all pipelines.
+
+Replaces each reference pipeline's hand-rolled epoch loop
+(`SASRec/train.py:84-220`, `RQ-VAE/train.py:15-250`, `RQVAE-T5/train.py:62-151`,
+`T5/train.py:134-207`) with a single jit-stepped engine:
+
+- a donated, jitted train step (grads + optax update fully on device),
+- per-epoch validation loss, early stopping on patience,
+- best-checkpoint tracking + bounded latest-checkpoint retention + resume
+  (orbax, full train state — see `genrec_tpu.train.checkpoint`),
+- per-epoch wall-clock + examples/s metrics, loss curves, file logging,
+- optional device-mesh data sharding: batches are placed with a
+  ``NamedSharding(mesh, P('data', ...))`` so the same step function runs
+  1-chip or N-chip data-parallel without code changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from genrec_tpu.configs import TrainerConfig
+from genrec_tpu.train.checkpoint import CheckpointStore, abstract_like
+from genrec_tpu.train.optim import make_optimizer
+from genrec_tpu.utils.misc import get_logger
+from genrec_tpu.utils.plotting import plot_loss_curves
+
+# loss_fn(params, batch, rng) -> (loss, aux_dict);  aux must contain
+# "sum_loss" and "valid" when per-valid-normalized epoch means are wanted.
+LossFn = Callable[[Any, Dict[str, jnp.ndarray], jax.Array], Tuple[jnp.ndarray, Dict]]
+BatchIterFactory = Callable[[int], Iterator[Dict[str, np.ndarray]]]
+
+
+@dataclasses.dataclass
+class TrainLoopResult:
+    best_params: Any
+    final_params: Any
+    train_losses: List[float]
+    val_losses: List[float]
+    best_val_loss: float
+    epochs_run: int
+    examples_per_sec: float
+
+
+class Trainer:
+    def __init__(
+        self,
+        cfg: TrainerConfig,
+        *,
+        init_params: Any,
+        loss_fn: LossFn,
+        eval_loss_fn: Optional[LossFn] = None,
+        steps_per_epoch: int = 1,
+        logger_name: str = "genrec",
+        batch_sharding=None,
+        replicate_sharding=None,
+    ):
+        self.cfg = cfg
+        self.loss_fn = loss_fn
+        self.eval_loss_fn = eval_loss_fn or loss_fn
+        self.tx = make_optimizer(cfg, steps_per_epoch)
+        self.params = init_params
+        self.opt_state = self.tx.init(init_params)
+        self.step = 0
+        self.start_epoch = 1
+        self.best_val = float("inf")
+        self.logger = get_logger(logger_name, cfg.log_path)
+        self.store = CheckpointStore(cfg.ckpt_dir, keep=cfg.keep_checkpoints)
+        self.batch_sharding = batch_sharding
+        self.replicate_sharding = replicate_sharding
+        if replicate_sharding is not None:
+            self.params = jax.device_put(self.params, replicate_sharding)
+            self.opt_state = jax.device_put(self.opt_state, replicate_sharding)
+
+        def train_step(params, opt_state, batch, rng):
+            (loss, aux), grads = jax.value_and_grad(self.loss_fn, has_aux=True)(
+                params, batch, rng)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss, aux
+
+        def eval_step(params, batch, rng):
+            return self.eval_loss_fn(params, batch, rng)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(eval_step)
+
+        if cfg.resume:
+            self._try_resume()
+
+    # ------------------------------------------------------------------
+    def _state_dict(self):
+        return {"params": self.params, "opt_state": self.opt_state,
+                "step": self.step, "epoch": self.start_epoch,
+                "best_val": self.best_val}
+
+    def _try_resume(self):
+        restored = self.store.restore_latest(abstract_like(self._state_dict()))
+        if restored is not None:
+            self.params = restored["params"]
+            self.opt_state = restored["opt_state"]
+            self.step = int(restored["step"])
+            self.start_epoch = int(restored["epoch"]) + 1
+            self.best_val = float(restored["best_val"])
+            self.logger.info(
+                f"Resumed from step {self.step} (epoch {self.start_epoch - 1}), "
+                f"best_val={self.best_val:.4f}")
+
+    def _put(self, batch: Dict[str, np.ndarray]):
+        if self.batch_sharding is None:
+            return batch
+        return {k: jax.device_put(v, self.batch_sharding.get(k)
+                                  if isinstance(self.batch_sharding, dict)
+                                  else self.batch_sharding)
+                for k, v in batch.items()}
+
+    # ------------------------------------------------------------------
+    def evaluate_loss(self, batches: Iterator[Dict[str, np.ndarray]],
+                      rng: jax.Array) -> float:
+        """Per-valid-sample mean validation loss (SASRec/train.py:59-81 style)."""
+        total, valid = 0.0, 0.0
+        for batch in batches:
+            rng, sub = jax.random.split(rng)
+            _, aux = self._eval_step(self.params, self._put(batch), sub)
+            total += float(aux["sum_loss"])
+            valid += float(aux["valid"])
+        return total / valid if valid > 0 else 0.0
+
+    def fit(self, train_batches: BatchIterFactory,
+            val_batches: Optional[BatchIterFactory] = None,
+            *, examples_per_epoch: Optional[int] = None,
+            epoch_end_callback: Optional[Callable[[int, "Trainer"], None]] = None
+            ) -> TrainLoopResult:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey(cfg.seed)
+        train_losses: List[float] = []
+        val_losses: List[float] = []
+        best_params = self.params
+        no_improve = 0
+        total_examples = 0
+        total_time = 0.0
+        epochs_run = 0
+
+        for epoch in range(self.start_epoch, cfg.epochs + 1):
+            epochs_run = epoch
+            t0 = time.perf_counter()
+            sum_loss, sum_valid = 0.0, 0.0
+            n_examples = 0
+            for batch in train_batches(epoch):
+                rng, sub = jax.random.split(rng)
+                n_examples += int(batch["valid"].sum()) if "valid" in batch \
+                    else len(next(iter(batch.values())))
+                self.params, self.opt_state, loss, aux = self._train_step(
+                    self.params, self.opt_state, self._put(batch), sub)
+                self.step += 1
+                sum_loss += float(aux.get("sum_loss", loss))
+                sum_valid += float(aux.get("valid", 1.0))
+            jax.block_until_ready(self.params)
+            dt = time.perf_counter() - t0
+            total_time += dt
+            total_examples += n_examples
+
+            avg_loss = sum_loss / sum_valid if sum_valid > 0 else 0.0
+            train_losses.append(avg_loss)
+
+            if val_batches is not None:
+                rng, sub = jax.random.split(rng)
+                val_loss = self.evaluate_loss(val_batches(epoch), sub)
+            else:
+                val_loss = avg_loss
+            val_losses.append(val_loss)
+
+            self.logger.info(
+                f"Epoch {epoch} | Train Loss: {avg_loss:.4f} | "
+                f"Val Loss: {val_loss:.4f} | {dt:.2f}s | "
+                f"{n_examples / max(dt, 1e-9):.0f} ex/s")
+
+            self.start_epoch = epoch
+            self.store.save_latest(self.step, self._state_dict())
+
+            if epoch_end_callback is not None:
+                epoch_end_callback(epoch, self)
+
+            if val_loss < self.best_val:
+                self.best_val = val_loss
+                no_improve = 0
+                best_params = self.params
+                self.store.save_best({"params": self.params})
+                self.logger.info(f"Best model saved (val_loss={val_loss:.4f})")
+            else:
+                no_improve += 1
+                if no_improve >= cfg.early_stop_patience:
+                    self.logger.info(f"Early stopping at epoch {epoch}.")
+                    break
+
+        self.store.wait()
+        plot_loss_curves(train_losses, val_losses, cfg.loss_plot_path)
+        return TrainLoopResult(
+            best_params=best_params,
+            final_params=self.params,
+            train_losses=train_losses,
+            val_losses=val_losses,
+            best_val_loss=self.best_val,
+            epochs_run=epochs_run,
+            examples_per_sec=total_examples / max(total_time, 1e-9),
+        )
