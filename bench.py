@@ -1,0 +1,87 @@
+"""Benchmark: TIGER training throughput at the reference parity config.
+
+Headline metric matching BASELINE.md: TIGER (2+2 layers, d_model 64,
+vocab 64) training examples/s at batch 256 on 80-token histories.
+Reference: ≈3.1K ex/s on a GTX 1080 Ti (`RQVAE-T5-prefix/output.txt`
+progress bars); target ≥3× per chip.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_EX_S = 3100.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from genrec_tpu.configs import TIGERConfig
+    from genrec_tpu.models.tiger import TIGER
+
+    cfg = TIGERConfig()
+    model = TIGER(cfg)
+    B = 256
+    seq = cfg.max_len * cfg.code_dim  # 80 tokens
+    rng = np.random.default_rng(0)
+    input_ids = jnp.asarray(rng.integers(1, 33, size=(B, seq)), jnp.int32)
+    # realistic left-padding: ~half the history is padding
+    pad = np.zeros((B, seq), np.int32)
+    lens = rng.integers(2, cfg.max_len + 1, size=B) * cfg.code_dim
+    for i, L in enumerate(lens):
+        pad[i, seq - L:] = 1
+    input_ids = input_ids * jnp.asarray(pad)
+    attention_mask = (input_ids != 0).astype(jnp.int32)
+    labels = jnp.asarray(rng.integers(1, 33, size=(B, cfg.code_dim)), jnp.int32)
+
+    params = model.init(jax.random.PRNGKey(0), input_ids, attention_mask, labels)
+    tx = optax.adam(cfg.trainer.lr)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def train_step(params, opt_state, ii, am, lab, rng):
+        def loss_fn(p):
+            loss, _ = model.apply(p, ii, am, lab, deterministic=False,
+                                  rngs={"dropout": rng})
+            return loss
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    # warmup / compile
+    for _ in range(3):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, input_ids,
+                                             attention_mask, labels, sub)
+    jax.block_until_ready(loss)
+
+    steps = 50
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = train_step(params, opt_state, input_ids,
+                                             attention_mask, labels, sub)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    ex_s = steps * B / dt
+
+    print(json.dumps({
+        "metric": "tiger_train_examples_per_sec",
+        "value": round(ex_s, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(ex_s / BASELINE_EX_S, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

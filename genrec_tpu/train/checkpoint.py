@@ -41,13 +41,13 @@ class CheckpointStore:
 
     def save_best(self, state: Dict[str, Any], tag: str = "best") -> None:
         path = os.path.join(self.dir, tag)
-        self._best.save(path, args=ocp.args.StandardSave(state), force=True)
+        self._best.save(path, state, force=True)
 
     def restore_best(self, abstract_state: Dict[str, Any], tag: str = "best"):
         path = os.path.join(self.dir, tag)
         if not os.path.exists(path):
             return None
-        return self._best.restore(path, args=ocp.args.StandardRestore(abstract_state))
+        return self._best.restore(path, abstract_state)
 
     def wait(self) -> None:
         self._mgr.wait_until_finished()

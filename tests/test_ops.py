@@ -1,0 +1,192 @@
+"""Unit tests for the ops layer: attention kernel parity, negative
+sampling, beam search, metrics, Sinkhorn/kmeans."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genrec_tpu.ops.attention import _xla_attention, flash_attention
+from genrec_tpu.ops.beam_search import ConstraintSpec, beam_search
+from genrec_tpu.ops.metrics_ops import (beam_metrics, hit_ndcg_from_ranks,
+                                        pos_index_exact_match, strict_ranks)
+from genrec_tpu.ops.negative_sampling import sample_negatives
+from genrec_tpu.ops.sinkhorn import kmeans, sinkhorn, center_distance
+
+KEY = jax.random.PRNGKey(0)
+
+
+# ---------------------------------------------------------------- attention
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_matches_xla(causal):
+    b, h, l, d = 2, 2, 256, 128
+    q = jax.random.normal(KEY, (b, h, l, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, l, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, l, d))
+    ref = _xla_attention(q, k, v, None, causal)
+    out = flash_attention(q, k, v, causal=causal, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_with_bias():
+    b, h, l, d = 1, 1, 128, 128
+    q = jax.random.normal(KEY, (b, h, l, d))
+    bias = jax.random.normal(jax.random.PRNGKey(3), (b, h, l, l))
+    ref = _xla_attention(q, q, q, bias, False)
+    out = flash_attention(q, q, q, bias, causal=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+# ------------------------------------------------------- negative sampling
+def test_sample_negatives_avoids_history():
+    seq = jnp.array([[1, 2, 3, 0, 0], [4, 5, 6, 7, 8]], jnp.int32)
+    neg = np.asarray(sample_negatives(KEY, seq, item_num=1000, num_neg=64))
+    assert neg.shape == (2, 64)
+    assert neg.min() >= 1 and neg.max() <= 1000
+    for row, s in zip(neg, np.asarray(seq)):
+        hist = set(s[s != 0].tolist())
+        assert not (set(row.tolist()) & hist)
+        # uniqueness within a row (item_num ≫ num_neg so collisions vanish)
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_sample_negatives_distribution():
+    seq = jnp.zeros((512, 4), jnp.int32)
+    neg = np.asarray(sample_negatives(KEY, seq, item_num=10, num_neg=1))
+    counts = np.bincount(neg.ravel(), minlength=11)[1:]
+    assert counts.min() > 0  # every item reachable
+
+
+# ------------------------------------------------------------------ metrics
+def test_strict_ranks_semantics():
+    logits = jnp.array([[0.5, 0.9, 0.1, 0.9, 0.2]])
+    # target item 3 scores 0.9; only strictly-greater count → rank 1 + #(>0.9)=0 →
+    # ties do NOT worsen rank (`>` not `>=`, SASRec/evaluate.py:32)
+    ranks = strict_ranks(logits, jnp.array([3]), mask_padding_item=False)
+    assert int(ranks[0]) == 1
+    ranks2 = strict_ranks(logits, jnp.array([4]), mask_padding_item=False)
+    assert int(ranks2[0]) == 4  # 0.5, 0.9, 0.9 all greater than 0.2
+    # padding mask pushes item 0 to the bottom
+    ranks3 = strict_ranks(jnp.array([[9.9, 0.1, 0.2]]), jnp.array([1]))
+    assert int(ranks3[0]) == 2
+
+
+def test_hit_ndcg_from_ranks():
+    m = hit_ndcg_from_ranks(np.array([1, 3, 11]), [10])
+    assert m["Hit@10"] == pytest.approx(2 / 3)
+    expected = (1.0 + 1 / np.log2(4)) / 3
+    assert m["NDCG@10"] == pytest.approx(expected)
+
+
+def test_pos_index_first_match_only():
+    labels = jnp.array([[1, 2, 3]])
+    preds = jnp.array([[[9, 9, 9], [1, 2, 3], [1, 2, 3], [4, 4, 4]]])
+    pos = np.asarray(pos_index_exact_match(preds, labels))
+    assert pos.tolist() == [[False, True, False, False]]
+    m = beam_metrics(pos, [1, 2])
+    assert m["Recall@1"] == 0.0 and m["Recall@2"] == 1.0
+    assert m["NDCG@2"] == pytest.approx(1 / np.log2(3))
+
+
+# ----------------------------------------------------------------- sinkhorn
+def test_sinkhorn_balanced_assignment():
+    d = jax.random.normal(KEY, (64, 8))
+    q = sinkhorn(center_distance(d), epsilon=0.5, iterations=50)
+    q = np.asarray(q)
+    # rows are (approximately) distributions; columns balanced to B/K
+    np.testing.assert_allclose(q.sum(axis=1), 1.0, atol=1e-3)
+    np.testing.assert_allclose(q.sum(axis=0), 64 / 8, rtol=0.05)
+    assigns = q.argmax(axis=1)
+    counts = np.bincount(assigns, minlength=8)
+    assert counts.max() <= 2 * (64 // 8)  # roughly balanced
+
+
+def test_kmeans_clusters():
+    centers_true = jnp.array([[0.0, 0.0], [10.0, 10.0], [-10.0, 10.0]])
+    x = jnp.concatenate([
+        centers_true[i] + 0.1 * jax.random.normal(jax.random.PRNGKey(i), (30, 2))
+        for i in range(3)])
+    centers = np.asarray(kmeans(KEY, x, 3, num_iters=10))
+    # every true center has a learned center nearby
+    for c in np.asarray(centers_true):
+        assert np.min(np.linalg.norm(centers - c, axis=1)) < 0.5
+
+
+# -------------------------------------------------------------- beam search
+def _uniform_decode_fn(scores_per_step):
+    """decode_fn emitting fixed per-step token scores (B*K, L, V)."""
+    def fn(tokens):
+        n, L = tokens.shape
+        V = scores_per_step.shape[-1]
+        logits = jnp.broadcast_to(scores_per_step[None, :, :], (n, L - 1, V))
+        return jnp.concatenate([logits, jnp.zeros((n, 1, V))], axis=1)[:, :L]
+    return fn
+
+
+def test_beam_search_topk_ordering():
+    V = 8
+    step_scores = jnp.log(jnp.array([
+        [.01, .5, .3, .1, .05, .02, .01, .01],
+        [.01, .01, .6, .3, .05, .01, .01, .01],
+        [.01, .01, .01, .01, .01, .01, .9, .04],
+    ], jnp.float32))
+    toks, scores = beam_search(_uniform_decode_fn(step_scores), 1, 3, 4, V)
+    toks = np.asarray(toks)[0]
+    # best sequence: argmaxes per step
+    assert toks[0].tolist() == [0, 1, 2, 6]
+    # second best differs in the least costly position
+    assert toks[1].tolist() == [0, 2, 2, 6]
+    s = np.asarray(scores)[0]
+    assert s[0] >= s[1] >= s[2]
+    expected_best = float(step_scores[0, 1] + step_scores[1, 2] + step_scores[2, 6])
+    assert s[0] == pytest.approx(expected_best, rel=1e-5)
+
+
+def test_beam_search_level_constraint():
+    from genrec_tpu.data.tiger_tokens import build_level_masks
+    V = 64
+    masks = jnp.asarray(build_level_masks(V, 8, 4))
+    rng_scores = jax.random.normal(KEY, (4, V))
+    toks, _ = beam_search(_uniform_decode_fn(rng_scores), 2, 5, 5, V,
+                          constraint=ConstraintSpec(mode="level",
+                                                    level_masks=masks))
+    toks = np.asarray(toks)
+    for step in range(4):
+        lo, hi = step * 8 + 1, (step + 1) * 8
+        vals = toks[:, :, step + 1]
+        assert ((vals >= lo) & (vals <= hi)).all()
+
+
+def test_beam_search_trie_constraint_only_real_items():
+    from genrec_tpu.data import synthetic, tiger_tokens
+    codes = synthetic.make_codes(num_items=12, codebook_size=8, num_levels=3)[1:]
+    trie = jnp.asarray(tiger_tokens.build_code_trie(codes, 64, 8))
+    offsets = jnp.asarray(tiger_tokens.trie_prefix_offsets(8, 4))
+    spec = ConstraintSpec(mode="trie", trie=trie, trie_offsets=offsets,
+                          codebook_size=8)
+    rng_scores = jax.random.normal(KEY, (4, 64))
+    toks, _ = beam_search(_uniform_decode_fn(rng_scores), 1, 8, 5, 64,
+                          constraint=spec)
+    toks = np.asarray(toks)[0, :, 1:]  # (beams, 4)
+    valid_token_rows = {tuple(r) for r in
+                        tiger_tokens.codes_to_token_table(codes, 8).tolist()}
+    for beam in toks:
+        assert tuple(beam.tolist()) in valid_token_rows
+
+
+def test_beam_search_eos_freezes_beam():
+    V = 8
+    eos = 3
+    # step 0 strongly prefers eos
+    scores = jnp.log(jnp.array([
+        [.01, .01, .01, .9, .03, .02, .01, .01],
+        [.9, .01, .01, .01, .03, .02, .01, .02],
+        [.9, .01, .01, .01, .03, .02, .01, .02],
+    ], jnp.float32))
+    toks, _ = beam_search(_uniform_decode_fn(scores), 1, 2, 4, V,
+                          decoder_start=0, pad_token=0, eos_token=eos)
+    best = np.asarray(toks)[0, 0]
+    assert best[1] == eos
+    assert (best[2:] == 0).all()  # frozen → padded with pad token
