@@ -73,8 +73,18 @@ class SASRecArrays:
 
 
 def build_sasrec_arrays(data: InteractionData, max_len: int, mode: str,
-                        min_seq_len: int = 3) -> SASRecArrays:
+                        min_seq_len: int = 3,
+                        use_native: Optional[bool] = None) -> SASRecArrays:
     item_num = data.max_item_id
+    from genrec_tpu.data import native_packer
+    if use_native is None:
+        use_native = native_packer.available()
+    if use_native:
+        kept = [np.asarray(s, np.int32) for s in data.item_id_lists
+                if len(s) >= min_seq_len]
+        inputs_n, targets_n = native_packer.pack_sasrec(kept, max_len, mode)
+        return SASRecArrays(inputs=inputs_n, targets=targets_n,
+                            item_num=item_num)
     inputs: List[np.ndarray] = []
     targets: List = []
     for seq in data.item_id_lists:
@@ -131,7 +141,8 @@ class TigerArrays:
 
 def build_tiger_arrays(split: TigerSplit, max_len: int, code_dim: int = 4,
                        pad_token: int = 0,
-                       max_target_items: Optional[int] = None) -> TigerArrays:
+                       max_target_items: Optional[int] = None,
+                       use_native: Optional[bool] = None) -> TigerArrays:
     """Pad/truncate histories to ``max_len`` items (left pad, keep the most
     recent), flatten to tokens; pad flat targets with -100 to a fixed width.
 
@@ -145,6 +156,17 @@ def build_tiger_arrays(split: TigerSplit, max_len: int, code_dim: int = 4,
         longest = max((len(t) for t in split.targets), default=code_dim) // code_dim
         max_target_items = max(1, longest)
     tgt_tokens = max_target_items * code_dim
+
+    from genrec_tpu.data import native_packer
+    if use_native is None:
+        use_native = native_packer.available()
+    if use_native and pad_token == 0:
+        input_ids, attention_mask, labels = native_packer.pack_tiger(
+            [np.asarray(h, np.int32) for h in split.histories],
+            [np.asarray(t, np.int32) for t in split.targets],
+            max_len, code_dim, tgt_tokens)
+        return TigerArrays(input_ids, attention_mask, labels,
+                           np.asarray(split.user_ids, dtype=np.int32))
 
     input_ids = np.zeros((n, seq_tokens), dtype=np.int32)
     labels = np.full((n, tgt_tokens), -100, dtype=np.int32)
@@ -200,13 +222,24 @@ class DenseT5Arrays:
 
 
 def build_dense_t5_arrays(data: InteractionData, max_seq_len: int, mode: str,
-                          min_seq_len: int = 2) -> DenseT5Arrays:
+                          min_seq_len: int = 2,
+                          use_native: Optional[bool] = None) -> DenseT5Arrays:
     """Sliding-window (train) / leave-one-out (test) samples.
 
     Matches `T5/data_vision.py:87-117`: train targets range over positions
     1..n-2 (the last item is test-only), histories keep the most recent
     ``max_seq_len`` items, right-padded here (mask built at batch time).
     """
+    from genrec_tpu.data import native_packer
+    if use_native is None:
+        use_native = native_packer.available()
+    if use_native and mode == "train":
+        hist, lens_n, tgt_n, uid_n = native_packer.pack_dense_t5_train(
+            [np.asarray(s, np.int32) for s in data.item_id_lists],
+            np.asarray(data.user_ids, np.int32), max_seq_len, min_seq_len)
+        return DenseT5Arrays(history_ids=hist, seq_lens=lens_n,
+                             target_ids=tgt_n, user_ids=uid_n)
+
     hist_rows: List[np.ndarray] = []
     lens: List[int] = []
     tgts: List[int] = []

@@ -53,16 +53,33 @@ def make_interactions(
 
     user_ids = np.arange(1, num_users + 1, dtype=np.int32)
     profiles = [f"user_{u}" for u in user_ids]
-    seqs = []
-    for u in range(num_users):
-        L = int(rng.integers(min_len, max_len + 1))
-        topic = int(rng.integers(num_topics))
-        seq = np.empty(L, dtype=np.int32)
-        for i in range(L):
-            if rng.random() > topic_stickiness:
-                topic = int(rng.integers(num_topics))
-            seq[i] = rng.choice(topic_items[topic], p=topic_probs[topic])
-        seqs.append(seq)
+
+    # vectorized over users: walk topics step-by-step, then inverse-CDF
+    # sample an item within each user's current topic.
+    lens = rng.integers(min_len, max_len + 1, size=num_users)
+    # pad ragged per-topic tables to a rectangle for fancy indexing
+    width = max(len(t) for t in topic_items)
+    items_rect = np.zeros((num_topics, width), dtype=np.int64)
+    cum_rect = np.ones((num_topics, width), dtype=np.float64)
+    for t in range(num_topics):
+        k = len(topic_items[t])
+        items_rect[t, :k] = topic_items[t]
+        cum_rect[t, :k] = np.cumsum(topic_probs[t])
+        items_rect[t, k:] = topic_items[t][-1]
+
+    topic = rng.integers(0, num_topics, size=num_users)
+    all_steps = np.zeros((num_users, max_len), dtype=np.int32)
+    for i in range(max_len):
+        switch = rng.random(num_users) > topic_stickiness
+        topic = np.where(switch, rng.integers(0, num_topics, size=num_users),
+                         topic)
+        u = rng.random(num_users)
+        col = np.array([np.searchsorted(cum_rect[t], x)
+                        for t, x in zip(topic, u)]) if num_users < 512 else \
+            (u[:, None] > cum_rect[topic]).sum(axis=1)
+        col = np.minimum(col, width - 1)
+        all_steps[:, i] = items_rect[topic, col]
+    seqs = [all_steps[j, :lens[j]].astype(np.int32) for j in range(num_users)]
     return InteractionData(user_ids, profiles, seqs)
 
 
