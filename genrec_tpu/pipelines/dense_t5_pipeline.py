@@ -26,6 +26,7 @@ from genrec_tpu.data.contracts import (read_interactions, read_item_embs,
                                        read_user_embs)
 from genrec_tpu.models.dense_t5 import DenseT5, contrastive_loss
 from genrec_tpu.ops.metrics_ops import hit_ndcg_from_ranks
+from genrec_tpu.parallel.auto import dp_shardings
 from genrec_tpu.train.trainer import Trainer, TrainLoopResult
 from genrec_tpu.utils.csv_results import append_results_csv
 
@@ -91,9 +92,11 @@ def train(cfg: DenseT5Config,
 
     tcfg = cfg.trainer
     steps = datasets.num_batches(len(tr.history_ids), tcfg.batch_size)
+    _mesh, _bs, _rs = dp_shardings(cfg.mesh)
     trainer = Trainer(tcfg, init_params=params, loss_fn=loss_fn,
                       eval_loss_fn=val_fn, steps_per_epoch=steps,
-                      logger_name="dense_t5")
+                      logger_name="dense_t5",
+                      batch_sharding=_bs, replicate_sharding=_rs)
     result = trainer.fit(
         lambda epoch: datasets.iterate_batches(tr.arrays, tcfg.batch_size,
                                                shuffle=True, seed=tcfg.seed + epoch),

@@ -28,6 +28,7 @@ from genrec_tpu.configs import RQVAEConfig
 from genrec_tpu.data import datasets
 from genrec_tpu.data.contracts import read_item_embs, write_codes
 from genrec_tpu.models.rqvae import RQVAE, collision_rate, kmeans_init_codebooks
+from genrec_tpu.parallel.auto import dp_shardings
 from genrec_tpu.train.trainer import Trainer, TrainLoopResult
 from genrec_tpu.utils.misc import get_logger
 
@@ -83,8 +84,10 @@ def train(cfg: RQVAEConfig,
     tcfg = cfg.trainer
     arrays = {"x": embs}
     steps = datasets.num_batches(len(embs), tcfg.batch_size)
+    _mesh, _bs, _rs = dp_shardings(cfg.mesh)
     trainer = Trainer(tcfg, init_params=params, loss_fn=loss_fn,
-                      steps_per_epoch=steps, logger_name="rqvae")
+                      steps_per_epoch=steps, logger_name="rqvae",
+                      batch_sharding=_bs, replicate_sharding=_rs)
 
     best_collision = {"rate": float("inf"), "params": params}
 
@@ -96,8 +99,9 @@ def train(cfg: RQVAEConfig,
         logger.info(f"Epoch {epoch} | collision rate {rate:.4f}")
         if rate < best_collision["rate"]:
             best_collision["rate"] = rate
-            best_collision["params"] = tr.params
-            tr.store.save_best({"params": tr.params}, tag="best_collision")
+            best_collision["params"] = tr.snapshot_params()
+            tr.store.save_best({"params": best_collision["params"]},
+                               tag="best_collision")
 
     result = trainer.fit(
         lambda epoch: datasets.iterate_batches(arrays, tcfg.batch_size,

@@ -20,6 +20,7 @@ from genrec_tpu.data import datasets
 from genrec_tpu.data.contracts import InteractionData, read_interactions
 from genrec_tpu.eval.evaluator import rank_evaluate
 from genrec_tpu.models.sasrec import SASRec, eval_loss, train_loss
+from genrec_tpu.parallel.auto import dp_shardings
 from genrec_tpu.train.trainer import Trainer, TrainLoopResult
 from genrec_tpu.utils.csv_results import append_results_csv
 
@@ -61,9 +62,11 @@ def train(cfg: SASRecConfig,
 
     tcfg = cfg.trainer
     steps = datasets.num_batches(len(tr.inputs), tcfg.batch_size)
+    _mesh, _bs, _rs = dp_shardings(cfg.mesh)
     trainer = Trainer(tcfg, init_params=params, loss_fn=loss_fn,
                       eval_loss_fn=val_fn, steps_per_epoch=steps,
-                      logger_name="sasrec")
+                      logger_name="sasrec",
+                      batch_sharding=_bs, replicate_sharding=_rs)
     result = trainer.fit(
         lambda epoch: datasets.iterate_batches(tr.arrays, tcfg.batch_size,
                                                shuffle=True, seed=tcfg.seed + epoch),

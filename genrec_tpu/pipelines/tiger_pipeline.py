@@ -21,6 +21,7 @@ from genrec_tpu.data.contracts import read_codes, read_tiger_split
 from genrec_tpu.eval.evaluator import beam_evaluate
 from genrec_tpu.models import tiger as tiger_mod
 from genrec_tpu.models.tiger import TIGER
+from genrec_tpu.parallel.auto import dp_shardings
 from genrec_tpu.train.trainer import Trainer, TrainLoopResult
 from genrec_tpu.utils.csv_results import append_results_csv
 
@@ -75,9 +76,11 @@ def train(cfg: TIGERConfig,
 
     tcfg = cfg.trainer
     steps = datasets.num_batches(len(train_arrays.input_ids), tcfg.batch_size)
+    _mesh, _bs, _rs = dp_shardings(cfg.mesh)
     trainer = Trainer(tcfg, init_params=params, loss_fn=loss_fn,
                       eval_loss_fn=val_fn, steps_per_epoch=steps,
-                      logger_name="tiger")
+                      logger_name="tiger",
+                      batch_sharding=_bs, replicate_sharding=_rs)
     result = trainer.fit(
         lambda epoch: datasets.iterate_batches(
             train_arrays.arrays, tcfg.batch_size, shuffle=True,

@@ -24,6 +24,7 @@ from genrec_tpu.models import tiger_prefix as tp_mod
 from genrec_tpu.models.tiger import make_constraint as _tiger_make_constraint
 from genrec_tpu.models.tiger_prefix import TIGERPrefix
 from genrec_tpu.ops.beam_search import ConstraintSpec
+from genrec_tpu.parallel.auto import dp_shardings
 from genrec_tpu.train.trainer import Trainer, TrainLoopResult
 from genrec_tpu.utils.csv_results import append_results_csv
 
@@ -98,9 +99,11 @@ def train(cfg: TIGERPrefixConfig,
 
     tcfg = cfg.trainer
     steps = datasets.num_batches(len(train_data["input_ids"]), tcfg.batch_size)
+    _mesh, _bs, _rs = dp_shardings(cfg.mesh)
     trainer = Trainer(tcfg, init_params=params, loss_fn=loss_fn,
                       eval_loss_fn=val_fn, steps_per_epoch=steps,
-                      logger_name="tiger_prefix")
+                      logger_name="tiger_prefix",
+                      batch_sharding=_bs, replicate_sharding=_rs)
     result = trainer.fit(
         lambda epoch: datasets.iterate_batches(train_data, tcfg.batch_size,
                                                shuffle=True, seed=tcfg.seed + epoch),

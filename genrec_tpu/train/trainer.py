@@ -112,6 +112,12 @@ class Trainer:
                 f"Resumed from step {self.step} (epoch {self.start_epoch - 1}), "
                 f"best_val={self.best_val:.4f}")
 
+    def snapshot_params(self):
+        """Deep-copy params into fresh buffers. Required before stashing a
+        reference across steps: the jitted train step donates its params
+        argument, so aliased buffers would be deleted on the next step."""
+        return jax.tree_util.tree_map(jnp.copy, self.params)
+
     def _put(self, batch: Dict[str, np.ndarray]):
         if self.batch_sharding is None:
             return batch
@@ -124,12 +130,16 @@ class Trainer:
     def evaluate_loss(self, batches: Iterator[Dict[str, np.ndarray]],
                       rng: jax.Array) -> float:
         """Per-valid-sample mean validation loss (SASRec/train.py:59-81 style)."""
-        total, valid = 0.0, 0.0
+        # accumulate device-side; sync once at the end (keeps the dispatch
+        # pipeline full instead of blocking per batch)
+        sums, valids = [], []
         for batch in batches:
             rng, sub = jax.random.split(rng)
             _, aux = self._eval_step(self.params, self._put(batch), sub)
-            total += float(aux["sum_loss"])
-            valid += float(aux["valid"])
+            sums.append(aux["sum_loss"])
+            valids.append(aux["valid"])
+        total = float(jnp.sum(jnp.stack(sums))) if sums else 0.0
+        valid = float(jnp.sum(jnp.stack(valids))) if valids else 0.0
         return total / valid if valid > 0 else 0.0
 
     def fit(self, train_batches: BatchIterFactory,
@@ -141,7 +151,7 @@ class Trainer:
         rng = jax.random.PRNGKey(cfg.seed)
         train_losses: List[float] = []
         val_losses: List[float] = []
-        best_params = self.params
+        best_params = self.snapshot_params()
         no_improve = 0
         total_examples = 0
         total_time = 0.0
@@ -150,7 +160,7 @@ class Trainer:
         for epoch in range(self.start_epoch, cfg.epochs + 1):
             epochs_run = epoch
             t0 = time.perf_counter()
-            sum_loss, sum_valid = 0.0, 0.0
+            losses, valids = [], []
             n_examples = 0
             for batch in train_batches(epoch):
                 rng, sub = jax.random.split(rng)
@@ -159,8 +169,10 @@ class Trainer:
                 self.params, self.opt_state, loss, aux = self._train_step(
                     self.params, self.opt_state, self._put(batch), sub)
                 self.step += 1
-                sum_loss += float(aux.get("sum_loss", loss))
-                sum_valid += float(aux.get("valid", 1.0))
+                losses.append(aux.get("sum_loss", loss))
+                valids.append(aux.get("valid", 1.0))
+            sum_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
+            sum_valid = float(jnp.sum(jnp.stack(valids))) if valids else 0.0
             jax.block_until_ready(self.params)
             dt = time.perf_counter() - t0
             total_time += dt
@@ -190,8 +202,8 @@ class Trainer:
             if val_loss < self.best_val:
                 self.best_val = val_loss
                 no_improve = 0
-                best_params = self.params
-                self.store.save_best({"params": self.params})
+                best_params = self.snapshot_params()
+                self.store.save_best({"params": best_params})
                 self.logger.info(f"Best model saved (val_loss={val_loss:.4f})")
             else:
                 no_improve += 1
