@@ -135,6 +135,8 @@ class T5ArchConfig:
     # (check_data_alignment.py:103-135); kept for parity, overridable.
     decoder_start_token_id: int = 0  # = pad (RQVAE-T5/model.py:22)
     tie_word_embeddings: bool = True
+    dtype: str = "float32"  # computation dtype: float32 | bfloat16 (params
+    # stay float32; norms/softmax/logits accumulate in float32 either way)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -35,6 +35,10 @@ from genrec_tpu.ops.attention import dot_product_attention
 _NEG_INF = -1e9
 
 
+def _cdtype(cfg: T5ArchConfig):
+    return jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+
 class RMSNorm(nn.Module):
     """T5LayerNorm: scale-only RMS normalization."""
 
@@ -95,13 +99,13 @@ class T5Attention(nn.Module):
     def __call__(self, x, kv, bias, *, deterministic: bool = True):
         c = self.cfg
         inner = c.num_heads * c.d_kv
-        dense = lambda name: nn.Dense(inner, use_bias=False, name=name,
-                                      kernel_init=nn.initializers.normal(
-                                          stddev=(c.d_model * c.d_kv) ** -0.5))
-        q = dense("q")(x)
-        k = nn.Dense(inner, use_bias=False, name="k",
+        dt = _cdtype(c)
+        q = nn.Dense(inner, use_bias=False, name="q", dtype=dt,
+                     kernel_init=nn.initializers.normal(
+                         stddev=(c.d_model * c.d_kv) ** -0.5))(x)
+        k = nn.Dense(inner, use_bias=False, name="k", dtype=dt,
                      kernel_init=nn.initializers.normal(stddev=c.d_model ** -0.5))(kv)
-        v = nn.Dense(inner, use_bias=False, name="v",
+        v = nn.Dense(inner, use_bias=False, name="v", dtype=dt,
                      kernel_init=nn.initializers.normal(stddev=c.d_model ** -0.5))(kv)
         b, lq, _ = q.shape
         lk = k.shape[1]
@@ -125,7 +129,7 @@ class T5Attention(nn.Module):
             out = dot_product_attention(qh * (c.d_kv ** 0.5), kh, vh, bias,
                                         causal=False)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
-        return nn.Dense(c.d_model, use_bias=False, name="o",
+        return nn.Dense(c.d_model, use_bias=False, name="o", dtype=dt,
                         kernel_init=nn.initializers.normal(stddev=inner ** -0.5))(out)
 
 
@@ -135,7 +139,7 @@ class T5FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         c = self.cfg
-        h = nn.Dense(c.d_ff, use_bias=False, name="wi",
+        h = nn.Dense(c.d_ff, use_bias=False, name="wi", dtype=_cdtype(c),
                      kernel_init=nn.initializers.normal(stddev=c.d_model ** -0.5))(x)
         if c.feed_forward_proj == "relu":
             h = nn.relu(h)
@@ -144,7 +148,7 @@ class T5FeedForward(nn.Module):
         else:
             raise ValueError(c.feed_forward_proj)
         h = nn.Dropout(c.dropout_rate, deterministic=deterministic)(h)
-        return nn.Dense(c.d_model, use_bias=False, name="wo",
+        return nn.Dense(c.d_model, use_bias=False, name="wo", dtype=_cdtype(c),
                         kernel_init=nn.initializers.normal(stddev=c.d_ff ** -0.5))(h)
 
 
@@ -221,7 +225,7 @@ class T5EncoderDecoder(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.shared = nn.Embed(c.vocab_size, c.d_model,
+        self.shared = nn.Embed(c.vocab_size, c.d_model, dtype=_cdtype(c),
                                embedding_init=nn.initializers.normal(1.0))
         self.encoder = T5Stack(c, c.num_layers, is_decoder=False)
         self.decoder = T5Stack(c, c.num_decoder_layers, is_decoder=True)
@@ -279,7 +283,7 @@ class T5Encoder(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.shared = nn.Embed(c.vocab_size, c.d_model,
+        self.shared = nn.Embed(c.vocab_size, c.d_model, dtype=_cdtype(c),
                                embedding_init=nn.initializers.normal(1.0))
         self.encoder = T5Stack(c, c.num_layers, is_decoder=False)
 
