@@ -84,7 +84,7 @@ def make_interactions(
 
 
 def make_item_embs(num_items: int, dim: int = 768, num_topics: int = 16,
-                   seed: int = 0) -> np.ndarray:
+                   seed: int = 0, noise: float = 0.3) -> np.ndarray:
     """Synthetic item embedding table with cluster structure.
 
     Row 0 is the zero padding row (contract of `T5/item_encode.py:99-101`).
@@ -93,7 +93,7 @@ def make_item_embs(num_items: int, dim: int = 768, num_topics: int = 16,
     rng = np.random.default_rng(seed)
     centers = rng.normal(0, 1.0, size=(num_topics, dim)).astype(np.float32)
     topics = rng.integers(0, num_topics, size=num_items)
-    embs = centers[topics] + 0.3 * rng.normal(0, 1.0, size=(num_items, dim)).astype(np.float32)
+    embs = centers[topics] + noise * rng.normal(0, 1.0, size=(num_items, dim)).astype(np.float32)
     table = np.zeros((num_items + 1, dim), dtype=np.float32)
     table[1:] = embs
     return table

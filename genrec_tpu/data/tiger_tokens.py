@@ -53,6 +53,7 @@ def build_tiger_splits(
     codes: np.ndarray,
     codebook_size: int = 8,
     min_seq_len: int = 2,
+    vocab_size: int = 64,
 ) -> Tuple[TigerSplit, TigerSplit]:
     """Build tiger/{train,test} splits from raw interactions + item codes.
 
@@ -61,6 +62,15 @@ def build_tiger_splits(
     offset-token space, matching the vlen-int32 H5 contract.
     """
     token_table = codes_to_token_table(codes, codebook_size)
+    # dedup digits are unbounded (RQ-VAE/infer.py:150-171); tokens must
+    # still fit the model vocabulary (64 in the reference config) — fail
+    # loudly instead of silently wrapping in the embedding lookup.
+    max_tok = int(token_table.max()) if token_table.size else 0
+    if max_tok >= vocab_size:
+        raise ValueError(
+            f"offset token {max_tok} ≥ vocab {vocab_size} — a collision group has "
+            f"more duplicates than the token space can disambiguate; "
+            f"retrain RQ-VAE for a lower collision rate or grow the vocab")
 
     train_uids: List[int] = []
     train_hist: List[np.ndarray] = []
@@ -99,11 +109,23 @@ def level_token_ranges(codebook_size: int, code_dim: int) -> List[Tuple[int, int
     return [(p * codebook_size + 1, (p + 1) * codebook_size) for p in range(code_dim)]
 
 
-def build_level_masks(vocab_size: int, codebook_size: int, code_dim: int) -> np.ndarray:
-    """(code_dim, vocab_size) bool: token validity per decode position."""
+def build_level_masks(vocab_size: int, codebook_size: int, code_dim: int,
+                      extend_last: bool = True) -> np.ndarray:
+    """(code_dim, vocab_size) bool: token validity per decode position.
+
+    ``extend_last`` opens the final position up to ``vocab_size-1``: the
+    collision-disambiguation digit can exceed codebook_size-1 when a code
+    group has many duplicates (RQ-VAE/infer.py:150-171 increments without
+    bound), producing tokens above the nominal level range that are still
+    < vocab_size. The reference decodes unconstrained so it reaches them
+    implicitly; a strict last-level mask would make those items
+    ungenerable.
+    """
     masks = np.zeros((code_dim, vocab_size), dtype=bool)
     for p, (lo, hi) in enumerate(level_token_ranges(codebook_size, code_dim)):
-        masks[p, lo:hi + 1] = True
+        if extend_last and p == code_dim - 1:
+            hi = vocab_size - 1
+        masks[p, lo:min(hi, vocab_size - 1) + 1] = True
     return masks
 
 

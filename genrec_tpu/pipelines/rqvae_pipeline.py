@@ -41,10 +41,23 @@ class RQVAEArtifacts:
     final_collision_rate: float
 
 
+_INDICES_FN_CACHE: Dict = {}
+
+
+def _indices_fn(model: RQVAE, use_sk: bool):
+    """Jitted get_indices, cached by (config, use_sk) — a fresh jit per call
+    would recompile every collision-repair iteration."""
+    key = (model.cfg, use_sk)
+    if key not in _INDICES_FN_CACHE:
+        _INDICES_FN_CACHE[key] = jax.jit(
+            lambda p, x: model.apply(p, x, use_sk=use_sk,
+                                     method=RQVAE.get_indices))
+    return _INDICES_FN_CACHE[key]
+
+
 def _batched_indices(model: RQVAE, params, embs: np.ndarray, batch: int = 1024,
                      use_sk: bool = False) -> np.ndarray:
-    fn = jax.jit(lambda p, x: model.apply(p, x, use_sk=use_sk,
-                                          method=RQVAE.get_indices))
+    fn = _indices_fn(model, use_sk)
     out = []
     n = len(embs)
     pad_to = -(-n // batch) * batch
@@ -149,9 +162,11 @@ def infer(cfg: RQVAEConfig, artifacts: RQVAEArtifacts,
         if not groups:
             break
         logger.info(f"Collision-repair iter {it}: {len(groups)} groups")
-        for g in groups:
-            new = _batched_indices(repair_model, params, embs[g], use_sk=True)
-            codes[g] = new
+        # one batched device call over all colliding items; Sinkhorn then
+        # balances within each group's shared distance structure
+        all_idx = np.concatenate(groups)
+        new = _batched_indices(repair_model, params, embs[all_idx], use_sk=True)
+        codes[all_idx] = new
 
     # 4th-digit dedup (infer.py:150-171)
     full = np.concatenate([codes.astype(np.int64),

@@ -60,12 +60,24 @@ class Trainer:
         logger_name: str = "genrec",
         batch_sharding=None,
         replicate_sharding=None,
+        train_data: Optional[Dict[str, np.ndarray]] = None,
+        val_data: Optional[Dict[str, np.ndarray]] = None,
     ):
+        """``train_data``/``val_data`` enable *device-resident* datasets:
+        the full arrays are uploaded once and each step gathers its batch
+        on device from a tiny index vector — no per-step host→device
+        payloads (the reference's DataLoader ships every batch over the
+        bus; over a network-attached TPU that dominates step time). When
+        set, `fit()`/`evaluate_loss()` may be called without batch
+        factories."""
         self.cfg = cfg
         self.loss_fn = loss_fn
         self.eval_loss_fn = eval_loss_fn or loss_fn
         self.tx = make_optimizer(cfg, steps_per_epoch)
-        self.params = init_params
+        # defensive copy: the jitted step donates params, which would
+        # otherwise consume the caller's arrays
+        self.params = jax.tree_util.tree_map(
+            lambda x: jnp.copy(x) if hasattr(x, "dtype") else x, init_params)
         self.opt_state = self.tx.init(init_params)
         self.step = 0
         self.start_epoch = 1
@@ -90,6 +102,29 @@ class Trainer:
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
+
+        # device-resident mode: upload datasets once; steps gather by index
+        self._train_data = self._val_data = None
+        if train_data is not None:
+            self._train_data = {k: jax.device_put(v) for k, v in train_data.items()}
+
+            def train_step_idx(params, opt_state, idx, rng):
+                batch = {k: jnp.take(v, jnp.maximum(idx, 0), axis=0)
+                         for k, v in self._train_data.items()}
+                batch["valid"] = idx >= 0
+                return train_step(params, opt_state, batch, rng)
+
+            self._train_step_idx = jax.jit(train_step_idx, donate_argnums=(0, 1))
+        if val_data is not None:
+            self._val_data = {k: jax.device_put(v) for k, v in val_data.items()}
+
+            def eval_step_idx(params, idx, rng):
+                batch = {k: jnp.take(v, jnp.maximum(idx, 0), axis=0)
+                         for k, v in self._val_data.items()}
+                batch["valid"] = idx >= 0
+                return eval_step(params, batch, rng)
+
+            self._eval_step_idx = jax.jit(eval_step_idx)
 
         if cfg.resume:
             self._try_resume()
@@ -127,22 +162,44 @@ class Trainer:
                 for k, v in batch.items()}
 
     # ------------------------------------------------------------------
-    def evaluate_loss(self, batches: Iterator[Dict[str, np.ndarray]],
+    @staticmethod
+    def _index_batches(n: int, batch_size: int, *, shuffle: bool, seed: int):
+        """Fixed-size int32 index batches; -1 pads the final batch."""
+        idx = np.arange(n, dtype=np.int32)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(idx)
+        for s in range(0, n, batch_size):
+            sel = idx[s:s + batch_size]
+            if len(sel) < batch_size:
+                sel = np.concatenate(
+                    [sel, np.full(batch_size - len(sel), -1, np.int32)])
+            yield sel
+
+    def evaluate_loss(self, batches: Optional[Iterator[Dict[str, np.ndarray]]],
                       rng: jax.Array) -> float:
         """Per-valid-sample mean validation loss (SASRec/train.py:59-81 style)."""
         # accumulate device-side; sync once at the end (keeps the dispatch
         # pipeline full instead of blocking per batch)
         sums, valids = [], []
-        for batch in batches:
-            rng, sub = jax.random.split(rng)
-            _, aux = self._eval_step(self.params, self._put(batch), sub)
-            sums.append(aux["sum_loss"])
-            valids.append(aux["valid"])
+        if self._val_data is not None:
+            n = len(next(iter(self._val_data.values())))
+            for idx in self._index_batches(n, self.cfg.eval_batch_size,
+                                           shuffle=False, seed=0):
+                rng, sub = jax.random.split(rng)
+                _, aux = self._eval_step_idx(self.params, idx, sub)
+                sums.append(aux["sum_loss"])
+                valids.append(aux["valid"])
+        else:
+            for batch in batches:
+                rng, sub = jax.random.split(rng)
+                _, aux = self._eval_step(self.params, self._put(batch), sub)
+                sums.append(aux["sum_loss"])
+                valids.append(aux["valid"])
         total = float(jnp.sum(jnp.stack(sums))) if sums else 0.0
         valid = float(jnp.sum(jnp.stack(valids))) if valids else 0.0
         return total / valid if valid > 0 else 0.0
 
-    def fit(self, train_batches: BatchIterFactory,
+    def fit(self, train_batches: Optional[BatchIterFactory] = None,
             val_batches: Optional[BatchIterFactory] = None,
             *, examples_per_epoch: Optional[int] = None,
             epoch_end_callback: Optional[Callable[[int, "Trainer"], None]] = None
@@ -162,15 +219,27 @@ class Trainer:
             t0 = time.perf_counter()
             losses, valids = [], []
             n_examples = 0
-            for batch in train_batches(epoch):
-                rng, sub = jax.random.split(rng)
-                n_examples += int(batch["valid"].sum()) if "valid" in batch \
-                    else len(next(iter(batch.values())))
-                self.params, self.opt_state, loss, aux = self._train_step(
-                    self.params, self.opt_state, self._put(batch), sub)
-                self.step += 1
-                losses.append(aux.get("sum_loss", loss))
-                valids.append(aux.get("valid", 1.0))
+            if self._train_data is not None:
+                n = len(next(iter(self._train_data.values())))
+                for idx in self._index_batches(n, cfg.batch_size, shuffle=True,
+                                               seed=cfg.seed + epoch):
+                    rng, sub = jax.random.split(rng)
+                    n_examples += int((idx >= 0).sum())
+                    self.params, self.opt_state, loss, aux = \
+                        self._train_step_idx(self.params, self.opt_state, idx, sub)
+                    self.step += 1
+                    losses.append(aux.get("sum_loss", loss))
+                    valids.append(aux.get("valid", 1.0))
+            else:
+                for batch in train_batches(epoch):
+                    rng, sub = jax.random.split(rng)
+                    n_examples += int(batch["valid"].sum()) if "valid" in batch \
+                        else len(next(iter(batch.values())))
+                    self.params, self.opt_state, loss, aux = self._train_step(
+                        self.params, self.opt_state, self._put(batch), sub)
+                    self.step += 1
+                    losses.append(aux.get("sum_loss", loss))
+                    valids.append(aux.get("valid", 1.0))
             sum_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
             sum_valid = float(jnp.sum(jnp.stack(valids))) if valids else 0.0
             jax.block_until_ready(self.params)
@@ -181,9 +250,10 @@ class Trainer:
             avg_loss = sum_loss / sum_valid if sum_valid > 0 else 0.0
             train_losses.append(avg_loss)
 
-            if val_batches is not None:
+            if val_batches is not None or self._val_data is not None:
                 rng, sub = jax.random.split(rng)
-                val_loss = self.evaluate_loss(val_batches(epoch), sub)
+                val_loss = self.evaluate_loss(
+                    val_batches(epoch) if val_batches is not None else None, sub)
             else:
                 val_loss = avg_loss
             val_losses.append(val_loss)

@@ -49,7 +49,7 @@ def main():
                                          max_len=40, num_topics=24,
                                          topic_stickiness=0.9, seed=11)
     item_embs = synthetic.make_item_embs(NUM_ITEMS, dim=768, num_topics=24,
-                                         seed=11)
+                                         seed=11, noise=1.0)
     print(f"[data] {NUM_USERS} users in {time.time()-t0:.1f}s", flush=True)
 
     # ---------------- SASRec ----------------

@@ -154,7 +154,9 @@ def test_beam_search_level_constraint():
                                                     level_masks=masks))
     toks = np.asarray(toks)
     for step in range(4):
-        lo, hi = step * 8 + 1, (step + 1) * 8
+        lo = step * 8 + 1
+        # last step is open to vocab-1 for dedup-digit overflow tokens
+        hi = V - 1 if step == 3 else (step + 1) * 8
         vals = toks[:, :, step + 1]
         assert ((vals >= lo) & (vals <= hi)).all()
 

@@ -1,0 +1,68 @@
+"""Trainer unit tests, including the device-resident dataset mode."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from genrec_tpu.configs import TrainerConfig
+from genrec_tpu.train.trainer import Trainer
+
+
+def _linear_regression_setup(n=256, d=8, seed=0):
+    rng = np.random.default_rng(seed)
+    w_true = rng.normal(size=(d,)).astype(np.float32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    y = x @ w_true + 0.01 * rng.normal(size=n).astype(np.float32)
+    params = {"w": jnp.zeros(d)}
+
+    def loss_fn(p, batch, rng_):
+        pred = batch["x"] @ p["w"]
+        valid = batch["valid"].astype(jnp.float32)
+        se = (pred - batch["y"]) ** 2 * valid
+        n_valid = jnp.maximum(valid.sum(), 1.0)
+        return se.sum() / n_valid, {"sum_loss": se.sum(), "valid": valid.sum()}
+
+    return {"x": x, "y": y}, params, loss_fn
+
+
+def test_device_resident_training(tmp_path):
+    data, params, loss_fn = _linear_regression_setup()
+    cfg = TrainerConfig(epochs=20, batch_size=64, lr=0.1,
+                        ckpt_dir=str(tmp_path / "c"), early_stop_patience=50)
+    tr = Trainer(cfg, init_params=params, loss_fn=loss_fn, steps_per_epoch=4,
+                 train_data=data, val_data=data)
+    result = tr.fit()
+    assert result.train_losses[-1] < 0.05
+    assert result.val_losses[-1] < 0.05
+
+
+def test_device_resident_matches_streaming(tmp_path):
+    """Same data, same seeds → both modes must learn to the same ballpark."""
+    from genrec_tpu.data import datasets
+    data, params, loss_fn = _linear_regression_setup()
+    cfg = TrainerConfig(epochs=10, batch_size=64, lr=0.1,
+                        ckpt_dir=str(tmp_path / "a"), early_stop_patience=50)
+    tr1 = Trainer(cfg, init_params=params, loss_fn=loss_fn,
+                  train_data=data, val_data=data)
+    r1 = tr1.fit()
+    cfg2 = dataclasses.replace(cfg, ckpt_dir=str(tmp_path / "b"))
+    tr2 = Trainer(cfg2, init_params=params, loss_fn=loss_fn)
+    r2 = tr2.fit(
+        lambda e: datasets.iterate_batches(data, 64, shuffle=True, seed=e),
+        lambda e: datasets.iterate_batches(data, 64, shuffle=False),
+    )
+    assert abs(r1.train_losses[-1] - r2.train_losses[-1]) < 0.05
+
+
+def test_final_partial_batch_masked(tmp_path):
+    """n not divisible by batch size: padded rows must not affect the loss."""
+    data, params, loss_fn = _linear_regression_setup(n=100)
+    cfg = TrainerConfig(epochs=1, batch_size=64, eval_batch_size=64, lr=0.0,
+                        ckpt_dir=str(tmp_path / "c"))
+    tr = Trainer(cfg, init_params=params, loss_fn=loss_fn,
+                 train_data=data, val_data=data)
+    result = tr.fit()
+    # with lr=0 the train loss equals the val loss exactly (same params)
+    assert abs(result.train_losses[0] - result.val_losses[0]) < 1e-4
