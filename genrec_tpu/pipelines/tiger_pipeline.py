@@ -96,6 +96,55 @@ def train(cfg: TIGERConfig,
     return TIGERArtifacts(params=result.best_params, result=result)
 
 
+def _evaluate_device_resident(cfg: TIGERConfig, model: TIGER, params,
+                              test_arrays: datasets.TigerArrays, constraint,
+                              actual_beams: int) -> Dict[str, float]:
+    """Fully on-device beam eval: the test split is uploaded once, each
+    batch is an index gather, and generation + start-strip + pad/trim +
+    first-match exact-match all run inside one jit. Only the final (N,
+    beams) boolean hit matrix crosses back to the host."""
+    from genrec_tpu.ops.metrics_ops import beam_metrics, pos_index_exact_match
+
+    ii_dev = jnp.asarray(test_arrays.input_ids)
+    am_dev = jnp.asarray(test_arrays.attention_mask)
+    lab_dev = jnp.asarray(test_arrays.labels)
+    n = len(test_arrays.input_ids)
+    B = cfg.trainer.eval_batch_size
+    lab_w = lab_dev.shape[1]
+
+    @jax.jit
+    def eval_batch(params, idx):
+        safe = jnp.maximum(idx, 0)
+        ii = jnp.take(ii_dev, safe, axis=0)
+        am = jnp.take(am_dev, safe, axis=0)
+        lab = jnp.take(lab_dev, safe, axis=0)
+        toks, _ = tiger_mod.generate(model, params, ii, am,
+                                     num_beams=actual_beams,
+                                     constraint=constraint)
+        preds = toks[:, :, 1:]  # strip decoder-start (RQVAE-T5/utils.py:69)
+        gen_w = preds.shape[-1]
+        if gen_w < lab_w:
+            preds = jnp.pad(preds, ((0, 0), (0, 0), (0, lab_w - gen_w)))
+        else:
+            preds = preds[:, :, :lab_w]
+        return pos_index_exact_match(preds, lab), idx >= 0
+
+    pos_parts, valid_parts = [], []
+    idx_all = np.arange(n, dtype=np.int32)
+    for s in range(0, n, B):
+        sel = idx_all[s:s + B]
+        if len(sel) < B:
+            sel = np.concatenate([sel, np.full(B - len(sel), -1, np.int32)])
+        pos, valid = eval_batch(params, sel)
+        pos_parts.append(pos)
+        valid_parts.append(valid)
+    pos = np.asarray(jnp.concatenate(pos_parts))
+    valid = np.asarray(jnp.concatenate(valid_parts))
+    # reference aggregation = mean of batch means over equal-size batches
+    # (RQVAE-T5/utils.py:83-90); identical to the global mean here
+    return beam_metrics(pos, cfg.topk_list, valid)
+
+
 def evaluate(cfg: TIGERConfig, artifacts: TIGERArtifacts,
              test_arrays: Optional[datasets.TigerArrays] = None,
              codes: Optional[np.ndarray] = None) -> Dict[str, float]:
@@ -111,22 +160,27 @@ def evaluate(cfg: TIGERConfig, artifacts: TIGERArtifacts,
     constraint = tiger_mod.make_constraint(cfg, codes)
     actual_beams = max(max(cfg.topk_list), cfg.beam_size)
 
-    gen = jax.jit(functools.partial(
-        tiger_mod.generate, model, num_beams=actual_beams,
-        constraint=constraint),
-        static_argnames=())
+    if jax.device_count() == 1:
+        metrics = _evaluate_device_resident(cfg, model, artifacts.params,
+                                            test_arrays, constraint,
+                                            actual_beams)
+    else:
+        gen = jax.jit(functools.partial(
+            tiger_mod.generate, model, num_beams=actual_beams,
+            constraint=constraint))
 
-    def generate_fn(batch, num_beams):
-        toks, _ = gen(artifacts.params, jnp.asarray(batch["input_ids"]),
-                      jnp.asarray(batch["attention_mask"]))
-        return toks
+        def generate_fn(batch, num_beams):
+            toks, _ = gen(artifacts.params, jnp.asarray(batch["input_ids"]),
+                          jnp.asarray(batch["attention_mask"]))
+            return toks
 
-    metrics = beam_evaluate(
-        generate_fn,
-        datasets.iterate_batches(test_arrays.arrays, cfg.trainer.eval_batch_size,
-                                 shuffle=False),
-        cfg.topk_list, cfg.beam_size,
-    )
+        metrics = beam_evaluate(
+            generate_fn,
+            datasets.iterate_batches(test_arrays.arrays,
+                                     cfg.trainer.eval_batch_size,
+                                     shuffle=False),
+            cfg.topk_list, cfg.beam_size,
+        )
     if cfg.trainer.results_csv_path:
         a = cfg.arch
         row = {"task_id": cfg.task_id, "num_layers": a.num_layers,

@@ -93,9 +93,17 @@ def main():
     print("[rqvae]", json.dumps(results["rqvae"], default=float), flush=True)
 
     # ---------------- TIGER ----------------
+    # dedup digits can push level-3 tokens past the reference's vocab 64;
+    # our config is not stuck there — grow the vocab to fit when needed.
+    max_tok = int(tiger_tokens.codes_to_token_table(codes).max())
+    vocab = max(64, ((max_tok + 2 + 7) // 8) * 8)
+    if vocab > 64:
+        print(f"[tiger] growing vocab to {vocab} for dedup digits "
+              f"(max token {max_tok})", flush=True)
     train_split, test_split = tiger_tokens.build_tiger_splits(
-        corpus.item_id_lists, corpus.user_ids, codes)
+        corpus.item_id_lists, corpus.user_ids, codes, vocab_size=vocab)
     tcfg = configs.TIGERConfig(
+        arch=dataclasses.replace(configs.T5ArchConfig(), vocab_size=vocab),
         constrained_decoding=os.environ.get("EXP_CONSTRAINED", "level"),
         trainer=dataclasses.replace(configs.TIGERConfig().trainer,
                                     epochs=TIGER_EPOCHS,

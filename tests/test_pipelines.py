@@ -109,6 +109,34 @@ def test_tiger_end_to_end(tmp_path, tiger_data):
     assert metrics["Recall@5"] > 0.0
 
 
+def test_tiger_device_resident_eval_matches_streaming(tmp_path, tiger_data):
+    """The fused on-device eval path must agree with the streaming path."""
+    import jax
+    from genrec_tpu.models import tiger as tiger_mod
+
+    codes, train_split, test_split = tiger_data
+    arch = configs.T5ArchConfig(vocab_size=64, num_layers=1,
+                                num_decoder_layers=1, d_model=32, d_ff=64,
+                                num_heads=2, d_kv=16, dropout_rate=0.0)
+    cfg = configs.TIGERConfig(
+        arch=arch, max_len=8, beam_size=5, topk_list=(1, 5),
+        constrained_decoding="level",
+        trainer=_trainer(tmp_path, epochs=1, batch_size=64, lr=3e-3))
+    te = datasets.build_tiger_arrays(test_split, cfg.max_len, cfg.code_dim,
+                                     max_target_items=1)
+    art = tiger_pipeline.train(
+        cfg, datasets.build_tiger_arrays(train_split, cfg.max_len,
+                                         cfg.code_dim), te)
+    streaming = tiger_pipeline.evaluate(cfg, art, te, codes=codes[1:])
+    constraint = tiger_mod.make_constraint(cfg, codes[1:])
+    model = tiger_mod.TIGER(cfg)
+    fused = tiger_pipeline._evaluate_device_resident(
+        cfg, model, art.params, te, constraint,
+        max(max(cfg.topk_list), cfg.beam_size))
+    for k in streaming:
+        assert abs(streaming[k] - fused[k]) < 1e-6, (k, streaming, fused)
+
+
 def test_tiger_prefix_end_to_end(tmp_path, corpus, tiger_data):
     codes, train_split, test_split = tiger_data
     arch = configs.T5ArchConfig(vocab_size=64, num_layers=1,
