@@ -1,9 +1,12 @@
 """Benchmark: TIGER training throughput at the reference parity config.
 
 Headline metric matching BASELINE.md: TIGER (2+2 layers, d_model 64,
-vocab 64) training examples/s at batch 256 on 80-token histories.
-Reference: ≈3.1K ex/s on a GTX 1080 Ti (`RQVAE-T5-prefix/output.txt`
-progress bars); target ≥3× per chip.
+vocab 64) training examples/s at batch 256 — the *real* training workload:
+80-token left-padded histories AND teacher-forcing decoder targets (the
+reference trains on target = seq[1:-1], up to ~38 items ≈ 152 tokens,
+padded to the batch max — `RQVAE-T5/data_vision.py:119-140`). Reference
+throughput on this workload: ≈12 it/s × 256 ≈ 3.1K ex/s on a GTX 1080 Ti
+(`RQVAE-T5-prefix/output.txt` progress bars); target ≥3× per chip.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -40,9 +43,18 @@ def main() -> None:
         pad[i, seq - L:] = 1
     input_ids = input_ids * jnp.asarray(pad)
     attention_mask = (input_ids != 0).astype(jnp.int32)
-    labels = jnp.asarray(rng.integers(1, 33, size=(B, cfg.code_dim)), jnp.int32)
+    # teacher-forcing targets: up to (max_len*2 - 2) items flattened, padded
+    # with -100 like the reference collate — the decoder-side workload
+    # dominates the step, so faking short targets would overstate ex/s.
+    tgt_items = 2 * cfg.max_len - 1  # matches the 95K-corpus max (39 items)
+    Lt = tgt_items * cfg.code_dim
+    lab_np = rng.integers(1, 33, size=(B, Lt)).astype(np.int32)
+    tgt_lens = rng.integers(1, tgt_items + 1, size=B) * cfg.code_dim
+    for i, L in enumerate(tgt_lens):
+        lab_np[i, L:] = -100
+    labels = jnp.asarray(lab_np)
 
-    params = model.init(jax.random.PRNGKey(0), input_ids, attention_mask, labels)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), input_ids, attention_mask, labels)
     tx = optax.adam(cfg.trainer.lr)
     opt_state = tx.init(params)
 

@@ -69,12 +69,14 @@ def train(cfg: DenseT5Config,
 
     model = DenseT5(cfg)
     L = cfg.max_seq_len
-    params = model.init(jax.random.PRNGKey(cfg.trainer.seed),
+    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.trainer.seed),
                         jnp.zeros((1, L + 1, cfg.input_emb_dim)),
                         jnp.ones((1, L + 1), jnp.int32))
 
     def loss_fn(params, batch, rng):
-        seq, mask, tgt = _gather_batch(item_embs, user_embs, batch)
+        ex = batch.get("_extra", {})
+        seq, mask, tgt = _gather_batch(ex.get("item_embs", item_embs),
+                                       ex.get("user_embs", user_embs), batch)
         _, pred = model.apply(params, seq, mask, None, deterministic=False,
                               rngs={"dropout": rng})
         loss = contrastive_loss(pred, tgt, cfg.temperature,
@@ -83,7 +85,9 @@ def train(cfg: DenseT5Config,
         return loss, {"sum_loss": loss * n, "valid": n}
 
     def val_fn(params, batch, rng):
-        seq, mask, tgt = _gather_batch(item_embs, user_embs, batch)
+        ex = batch.get("_extra", {})
+        seq, mask, tgt = _gather_batch(ex.get("item_embs", item_embs),
+                                       ex.get("user_embs", user_embs), batch)
         _, pred = model.apply(params, seq, mask, None, deterministic=True)
         loss = contrastive_loss(pred, tgt, cfg.temperature,
                                 valid=batch["valid"])
@@ -99,7 +103,10 @@ def train(cfg: DenseT5Config,
                       logger_name="dense_t5",
                       batch_sharding=_bs, replicate_sharding=_rs,
                       train_data=tr.arrays if device_resident else None,
-                      val_data=te.arrays if device_resident else None)
+                      val_data=te.arrays if device_resident else None,
+                      extra_data=({"item_embs": item_embs,
+                                   "user_embs": user_embs}
+                                  if device_resident else None))
     result = trainer.fit(
         None if device_resident else
         lambda epoch: datasets.iterate_batches(tr.arrays, tcfg.batch_size,

@@ -56,7 +56,7 @@ def train(cfg: SASRecConfig,
     item_num = tr.item_num
 
     model = SASRec(item_num=item_num, cfg=cfg)
-    params = model.init(jax.random.PRNGKey(cfg.trainer.seed),
+    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.trainer.seed),
                         jnp.zeros((1, cfg.max_len), jnp.int32))
     loss_fn, val_fn = _make_loss_fns(model, cfg, item_num)
 

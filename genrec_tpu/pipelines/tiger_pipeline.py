@@ -68,7 +68,7 @@ def train(cfg: TIGERConfig,
 
     model = TIGER(cfg)
     seq_tokens = cfg.max_len * cfg.code_dim
-    params = model.init(jax.random.PRNGKey(cfg.trainer.seed),
+    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.trainer.seed),
                         jnp.zeros((1, seq_tokens), jnp.int32),
                         jnp.ones((1, seq_tokens), jnp.int32),
                         jnp.ones((1, cfg.code_dim), jnp.int32))
@@ -105,15 +105,18 @@ def _evaluate_device_resident(cfg: TIGERConfig, model: TIGER, params,
     beams) boolean hit matrix crosses back to the host."""
     from genrec_tpu.ops.metrics_ops import beam_metrics, pos_index_exact_match
 
-    ii_dev = jnp.asarray(test_arrays.input_ids)
-    am_dev = jnp.asarray(test_arrays.attention_mask)
-    lab_dev = jnp.asarray(test_arrays.labels)
+    # pass the eval arrays as jit ARGUMENTS (device buffer handles), not
+    # closures — closed-over arrays become constants that a remote-PJRT
+    # client re-ships on every call
+    ii_dev = jax.device_put(test_arrays.input_ids)
+    am_dev = jax.device_put(test_arrays.attention_mask)
+    lab_dev = jax.device_put(test_arrays.labels)
     n = len(test_arrays.input_ids)
     B = cfg.trainer.eval_batch_size
     lab_w = lab_dev.shape[1]
 
     @jax.jit
-    def eval_batch(params, idx):
+    def eval_batch(params, idx, ii_dev, am_dev, lab_dev):
         safe = jnp.maximum(idx, 0)
         ii = jnp.take(ii_dev, safe, axis=0)
         am = jnp.take(am_dev, safe, axis=0)
@@ -135,7 +138,7 @@ def _evaluate_device_resident(cfg: TIGERConfig, model: TIGER, params,
         sel = idx_all[s:s + B]
         if len(sel) < B:
             sel = np.concatenate([sel, np.full(B - len(sel), -1, np.int32)])
-        pos, valid = eval_batch(params, sel)
+        pos, valid = eval_batch(params, sel, ii_dev, am_dev, lab_dev)
         pos_parts.append(pos)
         valid_parts.append(valid)
     pos = np.asarray(jnp.concatenate(pos_parts))

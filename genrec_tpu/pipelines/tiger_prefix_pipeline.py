@@ -90,7 +90,7 @@ def train(cfg: TIGERPrefixConfig,
     model = TIGERPrefix(cfg)
     seq_tokens = cfg.max_len * cfg.code_dim
     prof0 = jnp.zeros((1, cfg.num_prof_vectors, cfg.bert_dim), jnp.float32)
-    params = model.init(jax.random.PRNGKey(cfg.trainer.seed),
+    params = jax.jit(model.init)(jax.random.PRNGKey(cfg.trainer.seed),
                         jnp.zeros((1, seq_tokens), jnp.int32),
                         jnp.ones((1, seq_tokens), jnp.int32),
                         jnp.ones((1, cfg.code_dim), jnp.int32),

@@ -62,6 +62,7 @@ class Trainer:
         replicate_sharding=None,
         train_data: Optional[Dict[str, np.ndarray]] = None,
         val_data: Optional[Dict[str, np.ndarray]] = None,
+        extra_data: Optional[Dict[str, np.ndarray]] = None,
     ):
         """``train_data``/``val_data`` enable *device-resident* datasets:
         the full arrays are uploaded once and each step gathers its batch
@@ -69,7 +70,10 @@ class Trainer:
         payloads (the reference's DataLoader ships every batch over the
         bus; over a network-attached TPU that dominates step time). When
         set, `fit()`/`evaluate_loss()` may be called without batch
-        factories."""
+        factories. ``extra_data`` holds non-per-sample device tables
+        (e.g. item embedding matrices) delivered to the loss under
+        ``batch['_extra']`` — also passed as jit arguments rather than
+        being baked in as constants."""
         self.cfg = cfg
         self.loss_fn = loss_fn
         self.eval_loss_fn = eval_loss_fn or loss_fn
@@ -103,28 +107,61 @@ class Trainer:
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._eval_step = jax.jit(eval_step)
 
-        # device-resident mode: upload datasets once; steps gather by index
+        # device-resident mode: upload datasets once; a whole epoch runs as
+        # ONE jitted lax.scan over the shuffled index matrix — zero
+        # per-step host dispatch (per-step RPC latency over a
+        # network-attached TPU otherwise dominates small-model steps).
         self._train_data = self._val_data = None
+        self._extra_data = ({k: jax.device_put(v) for k, v in extra_data.items()}
+                            if extra_data is not None else None)
         if train_data is not None:
             self._train_data = {k: jax.device_put(v) for k, v in train_data.items()}
 
-            def train_step_idx(params, opt_state, idx, rng):
+            def _gather(data, idx, extra):
                 batch = {k: jnp.take(v, jnp.maximum(idx, 0), axis=0)
-                         for k, v in self._train_data.items()}
+                         for k, v in data.items()}
                 batch["valid"] = idx >= 0
-                return train_step(params, opt_state, batch, rng)
+                if extra is not None:
+                    batch["_extra"] = extra
+                return batch
 
-            self._train_step_idx = jax.jit(train_step_idx, donate_argnums=(0, 1))
+            # the dataset is passed as an ARGUMENT pytree (device buffers are
+            # handed over by reference) — closing over it would embed the
+            # arrays as jit constants, which a remote-PJRT client re-ships
+            # on every call.
+            def train_epoch(params, opt_state, idx_mat, rng, data, extra):
+                def body(carry, idx):
+                    params, opt_state, rng = carry
+                    rng, sub = jax.random.split(rng)
+                    batch = _gather(data, idx, extra)
+                    (loss, aux), grads = jax.value_and_grad(
+                        self.loss_fn, has_aux=True)(params, batch, sub)
+                    updates, opt_state = self.tx.update(grads, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state, rng), (
+                        aux.get("sum_loss", loss), aux.get("valid", 1.0))
+                (params, opt_state, _), (sl, vl) = jax.lax.scan(
+                    body, (params, opt_state, rng), idx_mat)
+                return params, opt_state, jnp.sum(sl), jnp.sum(vl)
+
+            self._train_epoch_fn = jax.jit(train_epoch, donate_argnums=(0, 1))
         if val_data is not None:
             self._val_data = {k: jax.device_put(v) for k, v in val_data.items()}
 
-            def eval_step_idx(params, idx, rng):
-                batch = {k: jnp.take(v, jnp.maximum(idx, 0), axis=0)
-                         for k, v in self._val_data.items()}
-                batch["valid"] = idx >= 0
-                return eval_step(params, batch, rng)
+            def eval_epoch(params, idx_mat, rng, data, extra):
+                def body(rng, idx):
+                    rng, sub = jax.random.split(rng)
+                    batch = {k: jnp.take(v, jnp.maximum(idx, 0), axis=0)
+                             for k, v in data.items()}
+                    batch["valid"] = idx >= 0
+                    if extra is not None:
+                        batch["_extra"] = extra
+                    _, aux = self.eval_loss_fn(params, batch, sub)
+                    return rng, (aux["sum_loss"], aux["valid"])
+                _, (sl, vl) = jax.lax.scan(body, rng, idx_mat)
+                return jnp.sum(sl), jnp.sum(vl)
 
-            self._eval_step_idx = jax.jit(eval_step_idx)
+            self._eval_epoch_fn = jax.jit(eval_epoch)
 
         if cfg.resume:
             self._try_resume()
@@ -163,38 +200,36 @@ class Trainer:
 
     # ------------------------------------------------------------------
     @staticmethod
-    def _index_batches(n: int, batch_size: int, *, shuffle: bool, seed: int):
-        """Fixed-size int32 index batches; -1 pads the final batch."""
+    def _index_matrix(n: int, batch_size: int, *, shuffle: bool,
+                      seed: int) -> np.ndarray:
+        """(steps, batch_size) int32 index matrix; -1 pads the final batch."""
         idx = np.arange(n, dtype=np.int32)
         if shuffle:
             np.random.default_rng(seed).shuffle(idx)
-        for s in range(0, n, batch_size):
-            sel = idx[s:s + batch_size]
-            if len(sel) < batch_size:
-                sel = np.concatenate(
-                    [sel, np.full(batch_size - len(sel), -1, np.int32)])
-            yield sel
+        steps = -(-n // batch_size)
+        out = np.full((steps * batch_size,), -1, np.int32)
+        out[:n] = idx
+        return out.reshape(steps, batch_size)
 
     def evaluate_loss(self, batches: Optional[Iterator[Dict[str, np.ndarray]]],
                       rng: jax.Array) -> float:
         """Per-valid-sample mean validation loss (SASRec/train.py:59-81 style)."""
         # accumulate device-side; sync once at the end (keeps the dispatch
         # pipeline full instead of blocking per batch)
-        sums, valids = [], []
         if self._val_data is not None:
             n = len(next(iter(self._val_data.values())))
-            for idx in self._index_batches(n, self.cfg.eval_batch_size,
-                                           shuffle=False, seed=0):
-                rng, sub = jax.random.split(rng)
-                _, aux = self._eval_step_idx(self.params, idx, sub)
-                sums.append(aux["sum_loss"])
-                valids.append(aux["valid"])
-        else:
-            for batch in batches:
-                rng, sub = jax.random.split(rng)
-                _, aux = self._eval_step(self.params, self._put(batch), sub)
-                sums.append(aux["sum_loss"])
-                valids.append(aux["valid"])
+            idx_mat = self._index_matrix(n, self.cfg.eval_batch_size,
+                                         shuffle=False, seed=0)
+            sl, vl = self._eval_epoch_fn(self.params, idx_mat, rng,
+                                         self._val_data, self._extra_data)
+            total, valid = float(sl), float(vl)
+            return total / valid if valid > 0 else 0.0
+        sums, valids = [], []
+        for batch in batches:
+            rng, sub = jax.random.split(rng)
+            _, aux = self._eval_step(self.params, self._put(batch), sub)
+            sums.append(aux["sum_loss"])
+            valids.append(aux["valid"])
         total = float(jnp.sum(jnp.stack(sums))) if sums else 0.0
         valid = float(jnp.sum(jnp.stack(valids))) if valids else 0.0
         return total / valid if valid > 0 else 0.0
@@ -221,15 +256,16 @@ class Trainer:
             n_examples = 0
             if self._train_data is not None:
                 n = len(next(iter(self._train_data.values())))
-                for idx in self._index_batches(n, cfg.batch_size, shuffle=True,
-                                               seed=cfg.seed + epoch):
-                    rng, sub = jax.random.split(rng)
-                    n_examples += int((idx >= 0).sum())
-                    self.params, self.opt_state, loss, aux = \
-                        self._train_step_idx(self.params, self.opt_state, idx, sub)
-                    self.step += 1
-                    losses.append(aux.get("sum_loss", loss))
-                    valids.append(aux.get("valid", 1.0))
+                idx_mat = self._index_matrix(n, cfg.batch_size, shuffle=True,
+                                             seed=cfg.seed + epoch)
+                rng, sub = jax.random.split(rng)
+                n_examples += n
+                self.params, self.opt_state, sl, vl = self._train_epoch_fn(
+                    self.params, self.opt_state, idx_mat, sub,
+                    self._train_data, self._extra_data)
+                self.step += idx_mat.shape[0]
+                losses.append(sl)
+                valids.append(vl)
             else:
                 for batch in train_batches(epoch):
                     rng, sub = jax.random.split(rng)
