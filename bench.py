@@ -69,13 +69,17 @@ def main() -> None:
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    key = jax.random.PRNGKey(1)
-    # warmup / compile
+    try:
+        key = jax.random.key(1, impl="rbg")  # hardware RNG for dropout masks
+    except TypeError:
+        key = jax.random.PRNGKey(1)
+    # warmup / compile; fetch a VALUE to force execution — on remote-PJRT
+    # backends block_until_ready alone can return before execution
     for _ in range(3):
         key, sub = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, input_ids,
                                              attention_mask, labels, sub)
-    jax.block_until_ready(loss)
+    float(loss)
 
     steps = 50
     t0 = time.perf_counter()
@@ -83,7 +87,7 @@ def main() -> None:
         key, sub = jax.random.split(key)
         params, opt_state, loss = train_step(params, opt_state, input_ids,
                                              attention_mask, labels, sub)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
     ex_s = steps * B / dt
 

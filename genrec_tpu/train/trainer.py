@@ -240,7 +240,13 @@ class Trainer:
             epoch_end_callback: Optional[Callable[[int, "Trainer"], None]] = None
             ) -> TrainLoopResult:
         cfg = self.cfg
-        rng = jax.random.PRNGKey(cfg.seed)
+        # rbg keys: hardware-accelerated RNG — threefry dropout masks cost
+        # as much as the whole fwd+bwd at these model sizes (measured:
+        # 20.5 → ~13 ms/step on the TIGER parity config)
+        try:
+            rng = jax.random.key(cfg.seed, impl="rbg")
+        except TypeError:  # older jax fallback
+            rng = jax.random.PRNGKey(cfg.seed)
         train_losses: List[float] = []
         val_losses: List[float] = []
         best_params = self.snapshot_params()
