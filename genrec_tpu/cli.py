@@ -133,20 +133,40 @@ def _etl_app_db(args):
 
 
 def _serve(args):
-    import uvicorn
-    from genrec_tpu.data.contracts import read_recommendation_data, read_item_embs
-    from genrec_tpu.serving.app import create_app
+    """Start the education-app backend + recommendation routes.
+
+    Uses the stdlib HTTP adapter (no deps); pass --fastapi to serve the
+    same route table through FastAPI/uvicorn when installed.
+    """
+    from genrec_tpu.backend.api import AppContext
+    from genrec_tpu.backend.config import Settings
+    from genrec_tpu.backend.server import create_fastapi_app, serve
     from genrec_tpu.serving.recommend import (HybridRecommender, ItemCatalog,
                                               make_env_llm_client)
-    classes, interactions, students = read_recommendation_data(
-        os.path.join(args.data_dir, "recommendation_data.h5"))
-    item_embs, _ = read_item_embs(
-        os.path.join(args.data_dir, "course_item_embs.h5"))
-    catalog = ItemCatalog.from_recommendation_data(classes, item_embs)
-    rec = HybridRecommender(catalog=catalog, llm_client=make_env_llm_client())
-    app = create_app(recommender=rec, catalog=catalog,
-                     llm_client=make_env_llm_client())
-    uvicorn.run(app, host=args.host, port=args.port)
+
+    recommender = catalog = None
+    rec_h5 = os.path.join(args.data_dir, "recommendation_data.h5")
+    emb_h5 = os.path.join(args.data_dir, "course_item_embs.h5")
+    if os.path.exists(rec_h5) and os.path.exists(emb_h5):
+        from genrec_tpu.data.contracts import (read_item_embs,
+                                               read_recommendation_data)
+        classes, _, _ = read_recommendation_data(rec_h5)
+        item_embs, _ = read_item_embs(emb_h5)
+        catalog = ItemCatalog.from_recommendation_data(classes, item_embs)
+        recommender = HybridRecommender(catalog=catalog,
+                                        llm_client=make_env_llm_client())
+
+    settings = Settings.from_env()
+    settings.host, settings.port = args.host, args.port
+    if args.db:
+        settings.database_path = args.db
+    ctx = AppContext.create(settings=settings, recommender=recommender,
+                            catalog=catalog)
+    if args.fastapi:
+        import uvicorn
+        uvicorn.run(create_fastapi_app(ctx), host=args.host, port=args.port)
+    else:
+        serve(ctx, host=args.host, port=args.port)
 
 
 def _check_alignment(args):
@@ -184,11 +204,35 @@ def main(argv=None):
     sp.add_argument("--out", default="data")
     sp.set_defaults(fn=_etl_app_db)
 
-    sp = sub.add_parser("serve", help="start the FastAPI serving surface")
+    sp = sub.add_parser("serve", help="start the app backend + rec routes")
     sp.add_argument("--data-dir", default="data")
+    sp.add_argument("--db", default=None, help="app SQLite DB path")
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=8000)
+    sp.add_argument("--fastapi", action="store_true",
+                    help="serve via FastAPI/uvicorn instead of stdlib")
     sp.set_defaults(fn=_serve)
+
+    sp = sub.add_parser("init-db", help="create + seed the app database")
+    sp.add_argument("--db", default="app.db")
+    sp.add_argument("--class-index")
+    sp.add_argument("--interactions")
+    sp.add_argument("--students")
+    sp.set_defaults(fn=lambda a: __import__(
+        "genrec_tpu.backend.init_db", fromlist=["main"]).main(
+            ["--db", a.db] +
+            (["--class-index", a.class_index] if a.class_index else []) +
+            (["--interactions", a.interactions] if a.interactions else []) +
+            (["--students", a.students] if a.students else [])))
+
+    sp = sub.add_parser("view-db", help="inspect the app database")
+    sp.add_argument("--db", default="app.db")
+    sp.add_argument("--table")
+    sp.add_argument("-n", type=int, default=5)
+    sp.set_defaults(fn=lambda a: __import__(
+        "genrec_tpu.backend.view_db", fromlist=["main"]).main(
+            ["--db", a.db] + (["--table", a.table] if a.table else []) +
+            ["-n", str(a.n)]))
 
     sp = sub.add_parser("check-alignment", help="run data-contract invariants")
     sp.set_defaults(fn=_check_alignment)
