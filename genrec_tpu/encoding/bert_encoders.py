@@ -75,17 +75,94 @@ class BertEncoder:
         return np.concatenate(outs).astype(np.float32)
 
 
+def word_drop(texts: Sequence[str], ratio: float,
+              rng: Optional[np.random.Generator] = None) -> List[str]:
+    """Random word-drop augmentation (`Baseline/Rec.py:26-37`): each
+    whitespace token is kept with probability ``1 - ratio``."""
+    rng = rng or np.random.default_rng(0)
+    out = []
+    for t in texts:
+        words = t.split(" ")
+        keep = rng.random(len(words)) > ratio
+        out.append(" ".join(w for w, k in zip(words, keep) if k))
+    return out
+
+
 def encode_item_texts(item_info: Dict[int, str],
                       encoder: Optional[BertEncoder] = None,
-                      dim: int = 768) -> np.ndarray:
+                      dim: int = 768,
+                      word_drop_ratio: float = -1.0,
+                      seed: int = 0) -> np.ndarray:
     """(max_item_id+1, D) table; row 0 = empty padding text
-    (`T5/item_encode.py:96-101`)."""
+    (`T5/item_encode.py:96-101`). ``word_drop_ratio > 0`` applies the
+    Baseline's augmentation (`Baseline/Rec.py:9-52`) before encoding."""
     max_id = max(item_info) if item_info else 0
     order_texts = ["" if k == 0 else item_info.get(k, "")
                    for k in range(max_id + 1)]
+    if word_drop_ratio > 0:
+        order_texts = word_drop(order_texts, word_drop_ratio,
+                                np.random.default_rng(seed))
     if encoder is None:
         return _hash_embed(order_texts, dim)
     return encoder.encode(order_texts, pooling="mean_no_cls")
+
+
+def load_quantized_encoder(model_name: str = "bert-base-uncased",
+                           device: str = "cpu", **kw) -> BertEncoder:
+    """Memory-reduced encoder load (`Baseline/Rec.py:54-97`'s 4-bit path).
+
+    Tries bitsandbytes nf4 (the reference's CUDA path), falls back to a
+    bfloat16 load, then to the plain fp32 encoder — mirroring the
+    reference's Windows/no-bnb degradation chain. On TPU hosts the
+    encoder runs on CPU anyway (text encoding is an offline ETL step);
+    bf16 halves host memory with the same downstream contract.
+    """
+    enc = BertEncoder.__new__(BertEncoder)
+    from transformers import AutoModel, AutoTokenizer
+    import torch
+    enc.torch = torch
+    enc.tokenizer = AutoTokenizer.from_pretrained(model_name)
+    model = None
+    try:
+        from transformers import BitsAndBytesConfig
+        bnb = BitsAndBytesConfig(load_in_4bit=True,
+                                 bnb_4bit_use_double_quant=True,
+                                 bnb_4bit_quant_type="nf4",
+                                 bnb_4bit_compute_dtype=torch.bfloat16)
+        model = AutoModel.from_pretrained(model_name, quantization_config=bnb)
+    except Exception:
+        try:
+            model = AutoModel.from_pretrained(model_name,
+                                              torch_dtype=torch.bfloat16)
+        except Exception:
+            model = AutoModel.from_pretrained(model_name)
+    enc.model = model.to(device).eval()
+    enc.max_length = kw.get("max_length", 512)
+    enc.batch_size = kw.get("batch_size", 20)
+    enc.device = device
+    return enc
+
+
+def fetch_pretrained(model_name: str = "t5-small",
+                     out_dir: str = "pretrained") -> Optional[str]:
+    """Download + cache a pretrained checkpoint (`download_pretrained.py:
+    10-12`). Returns the save path, or None when offline (zero-egress
+    environments keep working — the built models use scratch configs,
+    matching the reference, which references but never loads t5-small)."""
+    import os
+    if os.environ.get("HF_HUB_OFFLINE") or os.environ.get("TRANSFORMERS_OFFLINE"):
+        return None
+    try:
+        from transformers import AutoModel, AutoTokenizer
+        tok = AutoTokenizer.from_pretrained(model_name)
+        model = AutoModel.from_pretrained(model_name)
+        import os
+        path = os.path.join(out_dir, model_name.replace("/", "__"))
+        tok.save_pretrained(path)
+        model.save_pretrained(path)
+        return path
+    except Exception:
+        return None
 
 
 def encode_user_profiles(user_profile_map: Dict[int, str],

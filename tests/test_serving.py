@@ -181,3 +181,19 @@ def test_fastapi_app():
     assert client.post("/api/v1/chat/ask",
                        json={"question": "hi"}).status_code == 503
     assert client.get("/api/v1/chat/suggestions").status_code == 200
+
+
+def test_word_drop_augmentation():
+    from genrec_tpu.encoding.bert_encoders import encode_item_texts, word_drop
+    texts = ["alpha beta gamma delta epsilon zeta"] * 4
+    dropped = word_drop(texts, ratio=0.5, rng=np.random.default_rng(0))
+    assert all(len(d.split()) <= 6 for d in dropped)
+    assert any(len(d.split()) < 6 for d in dropped)  # something dropped
+    # ratio 0 keeps everything
+    assert word_drop(texts, 0.0)[0] == texts[0]
+    # flows through encode_item_texts deterministically
+    a = encode_item_texts({1: "a b c d e f"}, encoder=None, dim=16,
+                          word_drop_ratio=0.5, seed=3)
+    b = encode_item_texts({1: "a b c d e f"}, encoder=None, dim=16,
+                          word_drop_ratio=0.5, seed=3)
+    np.testing.assert_allclose(a, b)
