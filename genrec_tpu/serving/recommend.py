@@ -140,27 +140,47 @@ def match_text_to_items(text: str, candidates: Sequence[int],
 
 
 def make_env_llm_client() -> Optional[LLMClient]:
-    """OpenAI-compatible chat client from env config; None when unset."""
+    """LLM chat client from env config; None when unset.
+
+    Supports the reference's dual endpoint formats
+    (`Baseline/direct_rec.py:271-368`): OpenAI-compatible
+    ``/chat/completions`` (default) and DashScope-native generation
+    (``GENREC_LLM_API_FORMAT=dashscope`` or a dashscope base URL),
+    whose response carries ``output.text`` / ``output.choices``.
+    """
     api_key = os.environ.get("GENREC_LLM_API_KEY")
     base_url = os.environ.get("GENREC_LLM_BASE_URL")
     model = os.environ.get("GENREC_LLM_MODEL", "qwen-plus")
+    fmt = os.environ.get("GENREC_LLM_API_FORMAT",
+                         "dashscope" if base_url and "dashscope" in base_url
+                         else "openai")
     if not api_key or not base_url:
         return None
 
     def client(user_prompt: str, system_prompt: str) -> str:
         import json
         import urllib.request
-        payload = json.dumps({
-            "model": model,
-            "messages": [{"role": "system", "content": system_prompt},
-                         {"role": "user", "content": user_prompt}],
-        }).encode()
+        messages = [{"role": "system", "content": system_prompt},
+                    {"role": "user", "content": user_prompt}]
+        if fmt == "dashscope":
+            url = (base_url.rstrip("/") +
+                   "/services/aigc/text-generation/generation")
+            payload = {"model": model, "input": {"messages": messages},
+                       "parameters": {"result_format": "message"}}
+        else:
+            url = base_url.rstrip("/") + "/chat/completions"
+            payload = {"model": model, "messages": messages}
         req = urllib.request.Request(
-            base_url.rstrip("/") + "/chat/completions", data=payload,
+            url, data=json.dumps(payload).encode(),
             headers={"Authorization": f"Bearer {api_key}",
                      "Content-Type": "application/json"})
         with urllib.request.urlopen(req, timeout=60) as r:
             body = json.loads(r.read())
+        if fmt == "dashscope":
+            out = body.get("output", {})
+            if out.get("choices"):
+                return out["choices"][0]["message"]["content"]
+            return out.get("text", "")
         return body["choices"][0]["message"]["content"]
 
     return client
