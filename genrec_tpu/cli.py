@@ -132,6 +132,13 @@ def _etl_app_db(args):
     print(f"ETL complete: {data.num_users} users, max item {data.max_item_id}")
 
 
+def _etl_mooccube(args):
+    from genrec_tpu.data.etl import mooccube_to_contracts
+    data = mooccube_to_contracts(args.courses, args.users, args.out)
+    print(f"MOOCCube ETL complete: {data.num_users} users, "
+          f"max item {data.max_item_id} → {args.out}/")
+
+
 def _serve(args):
     """Start the education-app backend + recommendation routes.
 
@@ -203,6 +210,13 @@ def main(argv=None):
     sp.add_argument("--db", required=True)
     sp.add_argument("--out", default="data")
     sp.set_defaults(fn=_etl_app_db)
+
+    sp = sub.add_parser("etl-mooccube",
+                        help="MOOCCube course.json/user.json → H5 contracts")
+    sp.add_argument("--courses", required=True, help="path to course.json")
+    sp.add_argument("--users", required=True, help="path to user.json")
+    sp.add_argument("--out", default="data")
+    sp.set_defaults(fn=_etl_mooccube)
 
     sp = sub.add_parser("serve", help="start the app backend + rec routes")
     sp.add_argument("--data-dir", default="data")

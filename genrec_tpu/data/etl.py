@@ -143,3 +143,61 @@ def raw_interactions_to_contracts(
         contracts.write_id_map(item_map_path, list(item_map),
                                list(item_map.values()), key_prefix="item")
     return data
+
+
+def parse_jsonl(path: str) -> List[dict]:
+    """MOOCCube entity dumps are JSON-lines (`T5/data_process.ipynb` cell 2)."""
+    import json
+    out = []
+    with open(path, "r", encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if line:
+                out.append(json.loads(line))
+    return out
+
+
+def mooccube_to_contracts(course_json_path: str, user_json_path: str,
+                          out_dir: str) -> contracts.InteractionData:
+    """Full MOOCCube ETL (`T5/data_process.ipynb` cells 2-8): parse
+    `course.json` (id/name/about) and `user.json` (id/name/course_order),
+    build 1-based dense id maps, and write the four H5 contracts —
+    user_item_interact.h5, course_id_map.h5, user_id_map.h5,
+    course_info.h5. Interactions referencing unknown courses are kept in
+    the id maps (every course in course_order gets a dense id, matching
+    the notebook, which maps courses before filtering).
+    """
+    import os
+    courses = parse_jsonl(course_json_path)
+    users = parse_jsonl(user_json_path)
+
+    course_info: Dict[str, Tuple[str, str]] = {}
+    for c in courses:
+        if c["id"] not in course_info:
+            course_info[c["id"]] = (c.get("name", ""), c.get("about", ""))
+
+    raw = []
+    seen = set()
+    for u in users:
+        if u["id"] in seen:
+            continue
+        seen.add(u["id"])
+        raw.append((u["id"], u.get("name", ""), list(u.get("course_order", []))))
+
+    os.makedirs(out_dir, exist_ok=True)
+    data = raw_interactions_to_contracts(
+        raw,
+        interact_path=os.path.join(out_dir, "user_item_interact.h5"),
+        user_map_path=os.path.join(out_dir, "user_id_map.h5"),
+        item_map_path=os.path.join(out_dir, "course_id_map.h5"))
+
+    # course_info.h5 in dense-id order, courses seen only in course_order
+    # get empty name/about rows (the notebook only records catalog courses)
+    item_map = contracts.read_id_map(
+        os.path.join(out_dir, "course_id_map.h5"), key_prefix="item")
+    ordered = sorted(item_map, key=item_map.get)
+    names = [course_info.get(cid, ("", ""))[0] for cid in ordered]
+    abouts = [course_info.get(cid, ("", ""))[1] for cid in ordered]
+    contracts.write_course_info(os.path.join(out_dir, "course_info.h5"),
+                                ordered, names, abouts)
+    return data

@@ -100,3 +100,34 @@ def test_recommendation_data_roundtrip(tmp_path):
     assert np.array_equal(c["class_id"], classes["class_id"])
     assert list(s["major"]) == ["cs", "math"]
     np.testing.assert_allclose(i["preference"], interactions["preference"])
+
+
+def test_mooccube_etl(tmp_path):
+    import json
+    from genrec_tpu.data.contracts import (read_course_info, read_id_map,
+                                           read_interactions)
+    from genrec_tpu.data.etl import mooccube_to_contracts
+    courses = [{"id": "C_1", "name": "algebra", "about": "math course"},
+               {"id": "C_2", "name": "poetry", "about": "art course"}]
+    users = [{"id": "U_a", "name": "alice", "course_order": ["C_1", "C_2"]},
+             {"id": "U_b", "name": "bob", "course_order": ["C_2", "C_x"]},
+             {"id": "U_a", "name": "dup", "course_order": []}]  # dup skipped
+    cj, uj = tmp_path / "course.json", tmp_path / "user.json"
+    cj.write_text("\n".join(json.dumps(c) for c in courses))
+    uj.write_text("\n".join(json.dumps(u) for u in users))
+
+    out = str(tmp_path / "data")
+    data = mooccube_to_contracts(str(cj), str(uj), out)
+    assert data.num_users == 2
+    got = read_interactions(out + "/user_item_interact.h5")
+    assert list(got.user_ids) == [1, 2]
+    assert got.user_profiles == ["alice", "bob"]
+    item_map = read_id_map(out + "/course_id_map.h5", key_prefix="item")
+    # dense 1-based in first-seen order, incl. off-catalog C_x
+    assert item_map == {"C_1": 1, "C_2": 2, "C_x": 3}
+    assert got.item_id_lists[1].tolist() == [2, 3]
+    ids, names, infos = read_course_info(out + "/course_info.h5")
+    assert ids == ["C_1", "C_2", "C_x"]
+    assert names == ["algebra", "poetry", ""]  # off-catalog → empty
+    user_map = read_id_map(out + "/user_id_map.h5", key_prefix="user")
+    assert user_map == {"U_a": 1, "U_b": 2}
