@@ -290,6 +290,13 @@ class Trainer:
             total_examples += n_examples
 
             avg_loss = sum_loss / sum_valid if sum_valid > 0 else 0.0
+            if not np.isfinite(avg_loss):
+                # reference aborts on NaN loss (`RQ-VAE/train.py:92-94`)
+                self.logger.error(f"Epoch {epoch}: non-finite train loss "
+                                  f"({avg_loss}); aborting")
+                self.store.wait()  # drain async ckpt saves before raising
+                raise ValueError(f"training diverged: loss={avg_loss} "
+                                 f"at epoch {epoch}")
             train_losses.append(avg_loss)
 
             if val_batches is not None or self._val_data is not None:

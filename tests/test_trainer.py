@@ -66,3 +66,19 @@ def test_final_partial_batch_masked(tmp_path):
     result = tr.fit()
     # with lr=0 the train loss equals the val loss exactly (same params)
     assert abs(result.train_losses[0] - result.val_losses[0]) < 1e-4
+
+
+def test_nan_loss_aborts(tmp_path):
+    import pytest
+    data, params, _ = _linear_regression_setup()
+
+    def nan_loss(p, batch, rng_):
+        bad = jnp.sum(p["w"]) * jnp.nan
+        return bad, {"sum_loss": bad, "valid": jnp.asarray(1.0)}
+
+    cfg = TrainerConfig(epochs=5, batch_size=64, lr=0.1,
+                        ckpt_dir=str(tmp_path / "c"))
+    tr = Trainer(cfg, init_params=params, loss_fn=nan_loss, steps_per_epoch=2,
+                 train_data=data, val_data=data)
+    with pytest.raises(ValueError, match="diverged"):
+        tr.fit()
