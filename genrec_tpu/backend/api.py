@@ -17,6 +17,7 @@ FastAPI) dispatch through the same table.
 
 from __future__ import annotations
 
+import hashlib
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -80,6 +81,11 @@ def chat_ask(ctx, p, q, b):
                         [{"role": h["role"], "content": h["content"]}
                          for h in b.get("history", [])])
     conv_id = b.get("conversation_id")
+    if conv_id is not None and ctx.db.query_one(
+            "SELECT id FROM conversation WHERE id=?", (int(conv_id),)) is None:
+        # don't silently attach messages to a nonexistent conversation
+        # (sqlite FK enforcement is off by default)
+        conv_id = None
     if conv_id is None:
         conv_id = ctx.db.new_conversation(str(b.get("user_id", "anon")),
                                           title=b["question"][:50])
@@ -114,9 +120,16 @@ def upload_image(ctx, p, q, b):
 
 def homework_submit(ctx, p, q, b):
     _require(b, "student_id", "title", "content")
-    hw_id = ctx.db.insert("corrective_records", {
-        "id": f"hw-{abs(hash((b['student_id'], b['title']))) % 10**8}",
-        "document": b["content"], "mark_records": None})
+    # Stable, restart-safe TEXT id (Python's str hash is per-process salted);
+    # resubmitting the same student+title updates the stored document instead
+    # of tripping the UNIQUE constraint.
+    digest = hashlib.sha256(
+        f"{b['student_id']}\x00{b['title']}".encode()).hexdigest()[:12]
+    hw_id = f"hw-{digest}"
+    ctx.db.execute(
+        "INSERT INTO corrective_records (id, document, mark_records) "
+        "VALUES (?, ?, NULL) ON CONFLICT(id) DO UPDATE SET document=excluded.document",
+        (hw_id, b["content"]))
     ctx.state.setdefault("homework", {})[hw_id] = b
     return 200, success_response({
         "id": hw_id, "student_id": b["student_id"],

@@ -81,6 +81,11 @@ class _Handler(BaseHTTPRequestHandler):
             except json.JSONDecodeError:
                 self._respond(400, error_response("invalid JSON body"))
                 return
+            if not isinstance(body, dict):
+                # handlers index into the body; a bare list/str/number is a
+                # client error, not a 500
+                self._respond(400, error_response("JSON body must be an object"))
+                return
         status, payload = dispatch(self.server.ctx, method, url.path,
                                    query, body)
         self._respond(status, payload)
@@ -146,6 +151,9 @@ def create_fastapi_app(ctx: Optional[AppContext] = None):
                 body = json.loads(raw)
             except json.JSONDecodeError:
                 return JSONResponse(error_response("invalid JSON body"), 400)
+            if not isinstance(body, dict):
+                return JSONResponse(
+                    error_response("JSON body must be an object"), 400)
         status, payload = dispatch(ctx, request.method,
                                    "/" + full_path.strip("/"),
                                    dict(request.query_params), body)

@@ -13,6 +13,7 @@ self-describing.
 from __future__ import annotations
 
 import hashlib
+import hmac
 import logging
 import os
 import sys
@@ -78,6 +79,7 @@ def verify_password(plain_password: str, hashed_password: str) -> bool:
             return False
         dk = hashlib.pbkdf2_hmac("sha256", plain_password.encode(),
                                  bytes.fromhex(salt_hex), int(iters))
-        return dk.hex() == dk_hex
+        # constant-time compare (the reference's bcrypt verify is too)
+        return hmac.compare_digest(dk, bytes.fromhex(dk_hex))
     except (ValueError, AttributeError):
         return False

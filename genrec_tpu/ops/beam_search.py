@@ -104,7 +104,6 @@ def beam_search(
         scores = top_scores
 
         if eos_token is not None:
-            newly = (tok_idx == eos_token) & ~finished
             finished = finished | (tok_idx == eos_token)
         if constraint.mode == "trie":
             Kc = constraint.codebook_size

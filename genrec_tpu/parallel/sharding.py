@@ -51,10 +51,7 @@ def match_partition_rules(rules: Rules, params: Any) -> Any:
             return P()
         for rule, spec in rules:
             if re.search(rule, name):
-                # drop axes that don't divide evenly → replicate that axis
-                fixed = []
-                for dim, axis in zip(leaf.shape, spec):
-                    fixed.append(axis if axis is None or True else None)
+                # non-dividing axes are dropped later, in shard_params._divisible
                 return spec
         raise ValueError(f"no partition rule for {name}")
     return jax.tree_util.tree_map_with_path(assign, params)

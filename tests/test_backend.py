@@ -200,6 +200,20 @@ def test_http_homework(server):
                          {"student_id": "S001", "title": "essay",
                           "content": "my essay"})
     assert status == 200 and body["data"]["is_graded"] is False
+    hw_id = body["data"]["id"]
+    assert hw_id.startswith("hw-")
+    # the returned id must be the actual stored TEXT primary key
+    row = server.ctx.db.query_one(
+        "SELECT id, document FROM corrective_records WHERE id=?", (hw_id,))
+    assert row is not None and row["document"] == "my essay"
+    # resubmitting the same student+title is an update, not a 500
+    status, body = _call(server, "POST", "/api/v1/homework/submit",
+                         {"student_id": "S001", "title": "essay",
+                          "content": "revised essay"})
+    assert status == 200 and body["data"]["id"] == hw_id
+    row = server.ctx.db.query_one(
+        "SELECT document FROM corrective_records WHERE id=?", (hw_id,))
+    assert row["document"] == "revised essay"
     status, body = _call(server, "POST", "/api/v1/homework/grade",
                          {"homework_id": 1})
     assert body["data"]["grade"] == "B+"
@@ -300,6 +314,23 @@ def test_http_invalid_json(server):
     except urllib.error.HTTPError as e:
         status = e.code
     assert status == 400
+
+
+def test_http_non_object_json_body_is_400(server):
+    # a valid-JSON but non-object body must be a client error, not a 500
+    status, _ = _call(server, "POST", "/api/v1/chat/ask", body=[1, 2, 3])
+    assert status == 400
+
+
+def test_chat_ask_rejects_unknown_conversation(server):
+    status, body = _call(server, "POST", "/api/v1/chat/ask",
+                         {"question": "hi", "conversation_id": 999999})
+    assert status == 200
+    # messages must not be attached to the nonexistent conversation
+    assert body["conversation_id"] != 999999
+    assert server.ctx.db.query_one(
+        "SELECT id FROM conversation WHERE id=?",
+        (body["conversation_id"],)) is not None
 
 
 def test_recommend_route_with_recommender_and_db_history():
