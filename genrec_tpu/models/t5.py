@@ -95,23 +95,43 @@ class RelativePositionBias(nn.Module):
 class T5Attention(nn.Module):
     cfg: T5ArchConfig
 
-    @nn.compact
-    def __call__(self, x, kv, bias, *, deterministic: bool = True):
+    def setup(self):
         c = self.cfg
         inner = c.num_heads * c.d_kv
         dt = _cdtype(c)
-        q = nn.Dense(inner, use_bias=False, name="q", dtype=dt,
-                     kernel_init=nn.initializers.normal(
-                         stddev=(c.d_model * c.d_kv) ** -0.5))(x)
-        k = nn.Dense(inner, use_bias=False, name="k", dtype=dt,
-                     kernel_init=nn.initializers.normal(stddev=c.d_model ** -0.5))(kv)
-        v = nn.Dense(inner, use_bias=False, name="v", dtype=dt,
-                     kernel_init=nn.initializers.normal(stddev=c.d_model ** -0.5))(kv)
-        b, lq, _ = q.shape
-        lk = k.shape[1]
-        qh = q.reshape(b, lq, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
-        kh = k.reshape(b, lk, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
-        vh = v.reshape(b, lk, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
+        self.q = nn.Dense(inner, use_bias=False, dtype=dt,
+                          kernel_init=nn.initializers.normal(
+                              stddev=(c.d_model * c.d_kv) ** -0.5))
+        self.k = nn.Dense(inner, use_bias=False, dtype=dt,
+                          kernel_init=nn.initializers.normal(stddev=c.d_model ** -0.5))
+        self.v = nn.Dense(inner, use_bias=False, dtype=dt,
+                          kernel_init=nn.initializers.normal(stddev=c.d_model ** -0.5))
+        self.o = nn.Dense(c.d_model, use_bias=False, dtype=dt,
+                          kernel_init=nn.initializers.normal(stddev=inner ** -0.5))
+        self.attn_drop = nn.Dropout(c.dropout_rate)
+
+    def _split_heads(self, t):
+        c = self.cfg
+        b, l, _ = t.shape
+        return t.reshape(b, l, c.num_heads, c.d_kv).transpose(0, 2, 1, 3)
+
+    def project_kv(self, kv):
+        """(B, Lk, d_model) → per-head K/V (B, heads, Lk, d_kv).
+
+        Generation hoists this out of the beam-step loop: cross-attention
+        K/V of the (repeated) encoder output are identical at every decode
+        step, so recomputing them per step per beam — as the reference's
+        cache-less `model.generate` effectively does on re-encode-free HF
+        beam search — wastes the dominant matmul of the step."""
+        return self._split_heads(self.k(kv)), self._split_heads(self.v(kv))
+
+    def __call__(self, x, kv, bias, *, deterministic: bool = True,
+                 kv_cache=None):
+        c = self.cfg
+        inner = c.num_heads * c.d_kv
+        qh = self._split_heads(self.q(x))
+        kh, vh = kv_cache if kv_cache is not None else self.project_kv(kv)
+        b, _, lq, _ = qh.shape
         if not deterministic and c.dropout_rate > 0.0:
             # attention-weight dropout (HF T5Attention): explicit-probs XLA
             # path so the dropout mask applies to the softmax weights.
@@ -121,7 +141,7 @@ class T5Attention(nn.Module):
             if bias is not None:
                 logits = logits + bias
             probs = jax.nn.softmax(logits, axis=-1)
-            probs = nn.Dropout(c.dropout_rate, deterministic=False)(probs)
+            probs = self.attn_drop(probs, deterministic=False)
             out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(vh.dtype), vh)
         else:
             # T5 uses an unscaled dot product; dot_product_attention divides
@@ -129,8 +149,7 @@ class T5Attention(nn.Module):
             out = dot_product_attention(qh * (c.d_kv ** 0.5), kh, vh, bias,
                                         causal=False)
         out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
-        return nn.Dense(c.d_model, use_bias=False, name="o", dtype=dt,
-                        kernel_init=nn.initializers.normal(stddev=inner ** -0.5))(out)
+        return self.o(out)
 
 
 class T5FeedForward(nn.Module):
@@ -156,21 +175,30 @@ class T5Block(nn.Module):
     cfg: T5ArchConfig
     is_decoder: bool
 
-    @nn.compact
-    def __call__(self, x, self_bias, enc_out=None, cross_mask=None, *,
-                 deterministic: bool = True):
+    def setup(self):
         c = self.cfg
-        drop = lambda t: nn.Dropout(c.dropout_rate,
-                                    deterministic=deterministic)(t)
-        h = RMSNorm(c.layer_norm_epsilon, name="self_norm")(x)
-        x = x + drop(T5Attention(c, name="self_attn")(
-            h, h, self_bias, deterministic=deterministic))
-        if self.is_decoder and enc_out is not None:
-            h = RMSNorm(c.layer_norm_epsilon, name="cross_norm")(x)
-            x = x + drop(T5Attention(c, name="cross_attn")(
-                h, enc_out, cross_mask, deterministic=deterministic))
-        h = RMSNorm(c.layer_norm_epsilon, name="ff_norm")(x)
-        x = x + drop(T5FeedForward(c, name="ff")(h, deterministic=deterministic))
+        self.self_norm = RMSNorm(c.layer_norm_epsilon)
+        self.self_attn = T5Attention(c)
+        if self.is_decoder:
+            self.cross_norm = RMSNorm(c.layer_norm_epsilon)
+            self.cross_attn = T5Attention(c)
+        self.ff_norm = RMSNorm(c.layer_norm_epsilon)
+        self.ff = T5FeedForward(c)
+        self.drop = nn.Dropout(c.dropout_rate)
+
+    def __call__(self, x, self_bias, enc_out=None, cross_mask=None, *,
+                 deterministic: bool = True, cross_kv=None):
+        drop = lambda t: self.drop(t, deterministic=deterministic)
+        h = self.self_norm(x)
+        x = x + drop(self.self_attn(h, h, self_bias,
+                                    deterministic=deterministic))
+        if self.is_decoder and (enc_out is not None or cross_kv is not None):
+            h = self.cross_norm(x)
+            x = x + drop(self.cross_attn(h, enc_out, cross_mask,
+                                         deterministic=deterministic,
+                                         kv_cache=cross_kv))
+        h = self.ff_norm(x)
+        x = x + drop(self.ff(h, deterministic=deterministic))
         return x
 
 
@@ -190,26 +218,39 @@ class T5Stack(nn.Module):
     num_layers: int
     is_decoder: bool
 
-    @nn.compact
-    def __call__(self, inputs_embeds, attention_mask=None, enc_out=None,
-                 enc_mask=None, *, deterministic: bool = True):
+    def setup(self):
         c = self.cfg
+        self.rel_bias = RelativePositionBias(
+            c, bidirectional=not self.is_decoder)
+        self.blocks = [T5Block(c, self.is_decoder, name=f"block_{i}")
+                       for i in range(self.num_layers)]
+        self.final_norm = RMSNorm(c.layer_norm_epsilon)
+        self.drop = nn.Dropout(c.dropout_rate)
+
+    def __call__(self, inputs_embeds, attention_mask=None, enc_out=None,
+                 enc_mask=None, *, deterministic: bool = True,
+                 cross_kvs=None):
         lq = inputs_embeds.shape[1]
-        rel_bias = RelativePositionBias(
-            c, bidirectional=not self.is_decoder, name="rel_bias")(lq, lq)
-        self_bias = rel_bias
+        self_bias = self.rel_bias(lq, lq)
         if self.is_decoder:
             self_bias = self_bias + _causal_bias(lq)
         if attention_mask is not None:
             self_bias = self_bias + _extend_mask(attention_mask)
         cross_mask = _extend_mask(enc_mask) if enc_mask is not None else None
 
-        x = nn.Dropout(c.dropout_rate, deterministic=deterministic)(inputs_embeds)
-        for i in range(self.num_layers):
-            x = T5Block(c, self.is_decoder, name=f"block_{i}")(
-                x, self_bias, enc_out, cross_mask, deterministic=deterministic)
-        x = RMSNorm(c.layer_norm_epsilon, name="final_norm")(x)
-        return nn.Dropout(c.dropout_rate, deterministic=deterministic)(x)
+        x = self.drop(inputs_embeds, deterministic=deterministic)
+        for i, block in enumerate(self.blocks):
+            x = block(x, self_bias, enc_out, cross_mask,
+                      deterministic=deterministic,
+                      cross_kv=None if cross_kvs is None else cross_kvs[i])
+        x = self.final_norm(x)
+        return self.drop(x, deterministic=deterministic)
+
+    def precompute_cross_kv(self, enc_out):
+        """Per-layer cross-attention K/V of a fixed encoder output — hoisted
+        out of the generation step loop (decoder stacks only)."""
+        return tuple(block.cross_attn.project_kv(enc_out)
+                     for block in self.blocks)
 
 
 def shift_right(labels: jnp.ndarray, decoder_start: int, pad_id: int) -> jnp.ndarray:
@@ -242,6 +283,24 @@ class T5EncoderDecoder(nn.Module):
         x = self.shared(decoder_input_ids)
         x = self.decoder(x, None, enc_out, enc_mask, deterministic=deterministic)
         return self.lm_logits(x)
+
+    def precompute_cross_kv(self, enc_out):
+        """Hoist decoder cross-attention K/V projections of a fixed encoder
+        output out of the generation loop (computed once per sample, reused
+        at every beam step — see `genrec_tpu.ops.beam_search`)."""
+        return self.decoder.precompute_cross_kv(enc_out)
+
+    def decode_step(self, decoder_prefix_ids, cross_kvs, enc_mask=None):
+        """Next-token logits (B, V) for a (B, steps_so_far) decoder prefix.
+
+        Unlike :meth:`decode`, runs the stack only over the live prefix
+        (position count grows with the step) and projects logits only at
+        the final position; the encoder enters purely through the
+        precomputed ``cross_kvs``."""
+        x = self.shared(decoder_prefix_ids)
+        x = self.decoder(x, None, None, enc_mask, deterministic=True,
+                         cross_kvs=cross_kvs)
+        return self.lm_logits(x[:, -1, :])
 
     def lm_logits(self, hidden):
         c = self.cfg

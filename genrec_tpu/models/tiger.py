@@ -44,6 +44,12 @@ class TIGER(nn.Module):
         return self.model.decode(decoder_input_ids, enc_out, enc_mask,
                                  deterministic=True)
 
+    def precompute_cross_kv(self, enc_out):
+        return self.model.precompute_cross_kv(enc_out)
+
+    def decode_step(self, decoder_prefix_ids, cross_kvs, enc_mask=None):
+        return self.model.decode_step(decoder_prefix_ids, cross_kvs, enc_mask)
+
 
 def make_constraint(cfg: TIGERConfig,
                     codes: Optional[jnp.ndarray] = None) -> ConstraintSpec:
@@ -78,13 +84,18 @@ def generate(model: TIGER, params, input_ids, attention_mask, *,
     B = input_ids.shape[0]
     enc_out = model.apply(params, input_ids, attention_mask,
                           method=TIGER.encode)
-    enc_rep = jnp.repeat(enc_out, num_beams, axis=0)
+    # cross-attention K/V: project once per SAMPLE, then broadcast to beams
+    # (num_beams× fewer projection FLOPs than projecting the repeated
+    # encoder output inside every decode step)
+    cross_kvs = model.apply(params, enc_out, method=TIGER.precompute_cross_kv)
+    cross_kvs_rep = jax.tree_util.tree_map(
+        lambda t: jnp.repeat(t, num_beams, axis=0), cross_kvs)
     mask_rep = (jnp.repeat(attention_mask, num_beams, axis=0)
                 if attention_mask is not None else None)
 
-    def decode_fn(tokens):
-        return model.apply(params, tokens, enc_rep, mask_rep,
-                           method=TIGER.decode)
+    def decode_fn(tokens, step):
+        return model.apply(params, tokens[:, :step + 1], cross_kvs_rep,
+                           mask_rep, method=TIGER.decode_step)
 
     tokens, scores = beam_search(
         decode_fn, B, num_beams, cfg.max_gen_len, cfg.arch.vocab_size,

@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from genrec_tpu.configs import TIGERPrefixConfig
@@ -103,6 +104,12 @@ class TIGERPrefix(nn.Module):
         return self.model.decode(decoder_input_ids, enc_out, enc_mask,
                                  deterministic=True)
 
+    def precompute_cross_kv(self, enc_out):
+        return self.model.precompute_cross_kv(enc_out)
+
+    def decode_step(self, decoder_prefix_ids, cross_kvs, enc_mask=None):
+        return self.model.decode_step(decoder_prefix_ids, cross_kvs, enc_mask)
+
 
 def generate(model: TIGERPrefix, params, input_ids, attention_mask,
              prof_lvl1, prof_lvl2, prof_lvl3, *, num_beams: int,
@@ -113,12 +120,15 @@ def generate(model: TIGERPrefix, params, input_ids, attention_mask,
     enc_out, ext_mask = model.apply(
         params, input_ids, attention_mask, prof_lvl1, prof_lvl2, prof_lvl3,
         method=TIGERPrefix.encode_with_prefix)
-    enc_rep = jnp.repeat(enc_out, num_beams, axis=0)
+    cross_kvs = model.apply(params, enc_out,
+                            method=TIGERPrefix.precompute_cross_kv)
+    cross_kvs_rep = jax.tree_util.tree_map(
+        lambda t: jnp.repeat(t, num_beams, axis=0), cross_kvs)
     mask_rep = jnp.repeat(ext_mask, num_beams, axis=0) if ext_mask is not None else None
 
-    def decode_fn(tokens):
-        return model.apply(params, tokens, enc_rep, mask_rep,
-                           method=TIGERPrefix.decode)
+    def decode_fn(tokens, step):
+        return model.apply(params, tokens[:, :step + 1], cross_kvs_rep,
+                           mask_rep, method=TIGERPrefix.decode_step)
 
     return beam_search(
         decode_fn, B, num_beams, cfg.max_gen_len, cfg.arch.vocab_size,

@@ -56,10 +56,12 @@ def beam_search(
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run beam search.
 
-    ``decode_fn(tokens)`` maps a (B*beams, max_len) int32 buffer to
-    (B*beams, max_len, V) logits (typically a partial-applied T5 decode
-    with broadcast encoder outputs). Returns (tokens (B, beams, max_len),
-    scores (B, beams)) sorted by descending score.
+    ``decode_fn(tokens, step)`` maps the (B*beams, max_len) int32 token
+    buffer and the 0-based step index to next-token logits (B*beams, V)
+    for position ``step + 1`` (typically a T5 ``decode_step`` over the
+    live prefix ``tokens[:, :step+1]`` with cross-attention K/V hoisted
+    out of the loop). Returns (tokens (B, beams, max_len), scores
+    (B, beams)) sorted by descending score.
     """
     constraint = constraint or ConstraintSpec()
     B, K = batch_size, num_beams
@@ -72,9 +74,9 @@ def beam_search(
     prefix = jnp.zeros((B, K), jnp.int32)  # trie walk state
 
     for step in range(steps):
-        logits = decode_fn(tokens.reshape(B * K, max_len))  # (BK, L, V)
+        logits = decode_fn(tokens.reshape(B * K, max_len), step)  # (BK, V)
         logp = jax.nn.log_softmax(
-            logits[:, step, :].astype(jnp.float32), axis=-1).reshape(B, K, -1)
+            logits.astype(jnp.float32), axis=-1).reshape(B, K, -1)
 
         if constraint.mode == "level":
             mask = constraint.level_masks[step][None, None, :]

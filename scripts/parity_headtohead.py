@@ -1,0 +1,316 @@
+"""Head-to-head quality parity: reference PyTorch vs genrec-tpu, same H5s.
+
+The BASELINE.md quality gate is "Hit@k/Recall@k/NDCG@k parity with the
+reference within run-to-run variance". The reference's committed numbers
+were produced on MOOCCube data that is not shipped, so absolute values
+can't be compared. What CAN be compared — and what this harness does — is
+running the *actual reference code* (`/root/reference/SASRec/main.py:43-49`,
+`/root/reference/RQVAE-T5/main.py:37-41`, torch CPU) and the genrec-tpu
+pipelines on the SAME synthetic H5 contract files
+(`SASRec/data_vision.py:40-46`, `RQVAE-T5/data_vision.py:8-11` read the
+same schemas `genrec_tpu.data.contracts` writes), with the same
+hyperparameters, over multiple corpus seeds.
+
+The reference is EXECUTED from its read-only checkout (sys.path import;
+all output paths injected via its params dict) — no reference code is
+copied. Each reference pipeline runs in a subprocess because its module
+names (model/train/evaluate/utils/data_vision) collide across pipelines.
+
+Usage:
+    python scripts/parity_headtohead.py [--users 8000] [--items 240]
+        [--seeds 0 1] [--sasrec-epochs 60] [--tiger-epochs 30]
+        [--out artifacts/parity_headtohead.json]
+
+Writes the JSON artifact plus PARITY.md at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import subprocess
+import sys
+import textwrap
+import time
+
+import numpy as np
+
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
+
+REF = "/root/reference"
+TOPK = [2, 5, 10, 20]
+
+
+# ---------------------------------------------------------------------------
+# shared corpus
+# ---------------------------------------------------------------------------
+
+def make_corpus(outdir: str, users: int, items: int, seed: int) -> None:
+    from genrec_tpu.data import contracts, synthetic, tiger_tokens
+    os.makedirs(outdir, exist_ok=True)
+    data = synthetic.make_interactions(users, items, min_len=3, max_len=40,
+                                       num_topics=24, topic_stickiness=0.9,
+                                       seed=seed)
+    contracts.write_interactions(
+        os.path.join(outdir, "user_item_interact.h5"), data)
+    codes = synthetic.make_codes(items, seed=seed)
+    contracts.write_codes(
+        os.path.join(outdir, "course_rqvae_codes.npy"), codes)
+    train, test = tiger_tokens.build_tiger_splits(
+        data.item_id_lists, data.user_ids, codes)
+    contracts.write_tiger_split(os.path.join(outdir, "train_dataset.h5"), train)
+    contracts.write_tiger_split(os.path.join(outdir, "test_dataset.h5"), test)
+
+
+# ---------------------------------------------------------------------------
+# reference side (torch CPU, subprocess per pipeline)
+# ---------------------------------------------------------------------------
+
+def _run_ref(code: str, cwd: str, timeout_s: int) -> dict:
+    env = dict(os.environ,
+               MPLBACKEND="Agg", CUDA_VISIBLE_DEVICES="",
+               HF_HUB_OFFLINE="1", TOKENIZERS_PARALLELISM="false",
+               OMP_NUM_THREADS="2", JAX_PLATFORMS="cpu")
+    t0 = time.time()
+    proc = subprocess.run([sys.executable, "-c", code], cwd=cwd, env=env,
+                          capture_output=True, text=True, timeout=timeout_s)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"reference run failed:\n{proc.stdout[-2000:]}\n{proc.stderr[-4000:]}")
+    for line in proc.stdout.splitlines():
+        if line.startswith("PARITY_JSON:"):
+            out = json.loads(line[len("PARITY_JSON:"):])
+            out["wall_seconds"] = time.time() - t0
+            return out
+    raise RuntimeError(f"no PARITY_JSON in reference output:\n"
+                       f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
+def run_ref_sasrec(datadir: str, workdir: str, epochs: int,
+                   model_seed: int) -> dict:
+    os.makedirs(workdir, exist_ok=True)
+    params = {
+        "task_id": "parity", "device": "cpu",
+        "data_path": os.path.join(datadir, "user_item_interact.h5"),
+        "ckpt": os.path.join(workdir, "sasrec.pt"),
+        "max_len": 20, "d": 16, "num_blocks": 2, "num_heads": 1,
+        "dropout": 0.2, "lr": 1e-3, "batch_size": 128,
+        "eval_batch_size": 128, "epochs": epochs, "mlp_layer": 64,
+        "layernorm_eps": 1e-8, "num_neg_samples": 10, "num_workers": 0,
+        "adam_betas": (0.9, 0.98), "loss_eps": 1e-24,
+        "topk_list": TOPK, "min_seq_len": 3,
+        "log_path": os.path.join(workdir, "sasrec.log"),
+        "loss_plot_path": os.path.join(workdir, "loss.png"),
+        "params_path": os.path.join(workdir, "results.csv"),
+        "early_stop": 10, "seed": model_seed,
+    }
+    code = textwrap.dedent(f"""
+        import json, sys, torch, numpy, random
+        sys.path.insert(0, {REF + "/SASRec"!r})
+        params = json.loads({json.dumps(params)!r})
+        params["adam_betas"] = tuple(params["adam_betas"])
+        torch.manual_seed(params["seed"]); numpy.random.seed(params["seed"])
+        random.seed(params["seed"])
+        from train import train
+        from evaluate import evaluate
+        train(params)
+        out = {{}}
+        for k in params["topk_list"]:
+            params["top_k"] = k
+            out.update({{m: float(v) for m, v in evaluate(params).items()}})
+        print("PARITY_JSON:" + json.dumps(out))
+    """)
+    return _run_ref(code, workdir, timeout_s=3600)
+
+
+def run_ref_tiger(datadir: str, workdir: str, epochs: int,
+                  model_seed: int) -> dict:
+    os.makedirs(workdir, exist_ok=True)
+    params = {
+        "task_id": "parity",
+        "code_path": os.path.join(datadir, "course_rqvae_codes.npy"),
+        "train_dataset_path": os.path.join(datadir, "train_dataset.h5"),
+        "test_dataset_path": os.path.join(datadir, "test_dataset.h5"),
+        "batch_size": 256, "infer_size": 256, "num_epochs": epochs,
+        "lr": 1e-3, "device": "cpu", "num_layers": 2,
+        "num_decoder_layers": 2, "d_model": 64, "d_ff": 256,
+        "num_heads": 4, "d_kv": 16, "dropout_rate": 0.1, "vocab_size": 64,
+        "codebook_size": 8, "pad_token_id": 0, "eos_token_id": 31,
+        "feed_forward_proj": "relu", "max_len": 20,
+        "log_path": os.path.join(workdir, "tiger.log"),
+        "seed": model_seed,
+        "save_path": os.path.join(workdir, "tiger.pth"),
+        "params_path": os.path.join(workdir, "results.csv"),
+        "early_stop": 10, "topk_list": TOPK,
+        "loss_plot_path": os.path.join(workdir, "loss.png"),
+        "beam_size": 20,
+    }
+    code = textwrap.dedent(f"""
+        import json, sys, time
+        sys.path.insert(0, {REF + "/RQVAE-T5"!r})
+        params = json.loads({json.dumps(params)!r})
+        from train import train
+        from evaluate import infer
+        train(params)
+        t0 = time.time()
+        recalls, ndcgs = infer(params)
+        out = {{m: float(v) for m, v in {{**recalls, **ndcgs}}.items()}}
+        out["eval_seconds"] = time.time() - t0
+        print("PARITY_JSON:" + json.dumps(out))
+    """)
+    return _run_ref(code, workdir, timeout_s=7200)
+
+
+# ---------------------------------------------------------------------------
+# genrec-tpu side (in-process; default backend = the real chip)
+# ---------------------------------------------------------------------------
+
+def run_tpu_sasrec(datadir: str, workdir: str, epochs: int,
+                   model_seed: int) -> dict:
+    from genrec_tpu import configs
+    from genrec_tpu.pipelines import sasrec_pipeline
+    cfg = configs.SASRecConfig(
+        data_path=os.path.join(datadir, "user_item_interact.h5"),
+        trainer=dataclasses.replace(
+            configs.SASRecConfig().trainer, epochs=epochs, seed=model_seed,
+            early_stop_patience=10, ckpt_dir=os.path.join(workdir, "ckpt"),
+            log_path=os.path.join(workdir, "sasrec.log")))
+    t0 = time.time()
+    art = sasrec_pipeline.train(cfg)
+    out = {k: float(v) for k, v in
+           sasrec_pipeline.evaluate(cfg, art).items()}
+    out["wall_seconds"] = time.time() - t0
+    out["train_examples_per_sec"] = art.result.examples_per_sec
+    return out
+
+
+def run_tpu_tiger(datadir: str, workdir: str, epochs: int,
+                  model_seed: int) -> dict:
+    from genrec_tpu import configs
+    from genrec_tpu.pipelines import tiger_pipeline
+    cfg = configs.TIGERConfig(
+        code_path=os.path.join(datadir, "course_rqvae_codes.npy"),
+        train_dataset_path=os.path.join(datadir, "train_dataset.h5"),
+        test_dataset_path=os.path.join(datadir, "test_dataset.h5"),
+        constrained_decoding="none",  # parity: reference decodes unconstrained
+        beam_size=20,
+        trainer=dataclasses.replace(
+            configs.TIGERConfig().trainer, epochs=epochs, seed=model_seed,
+            early_stop_patience=10, ckpt_dir=os.path.join(workdir, "ckpt"),
+            log_path=os.path.join(workdir, "tiger.log")))
+    t0 = time.time()
+    art = tiger_pipeline.train(cfg)
+    t1 = time.time()
+    out = {k: float(v) for k, v in tiger_pipeline.evaluate(cfg, art).items()}
+    out["eval_seconds"] = time.time() - t1
+    out["wall_seconds"] = time.time() - t0
+    out["train_examples_per_sec"] = art.result.examples_per_sec
+    return out
+
+
+# ---------------------------------------------------------------------------
+# report
+# ---------------------------------------------------------------------------
+
+def _fmt_table(title: str, metric_names, ref_runs, tpu_runs, seeds) -> str:
+    lines = [f"### {title}", ""]
+    lines.append("| metric | " + " | ".join(
+        f"ref seed {s} | tpu seed {s}" for s in seeds) +
+        " | ref mean | tpu mean | rel Δ |")
+    lines.append("|---" * (2 * len(seeds) + 4) + "|")
+    for m in metric_names:
+        ref_vals = [r[m] for r in ref_runs]
+        tpu_vals = [r[m] for r in tpu_runs]
+        rm, tm = float(np.mean(ref_vals)), float(np.mean(tpu_vals))
+        rel = (tm - rm) / rm if rm else float("nan")
+        cells = []
+        for rv, tv in zip(ref_vals, tpu_vals):
+            cells += [f"{rv:.4f}", f"{tv:.4f}"]
+        lines.append("| " + m + " | " + " | ".join(cells) +
+                     f" | {rm:.4f} | {tm:.4f} | {rel:+.1%} |")
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--users", type=int, default=8000)
+    ap.add_argument("--items", type=int, default=240)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1])
+    ap.add_argument("--sasrec-epochs", type=int, default=60)
+    ap.add_argument("--tiger-epochs", type=int, default=30)
+    ap.add_argument("--workdir", default="/tmp/parity_h2h")
+    ap.add_argument("--out", default=os.path.join(REPO, "artifacts",
+                                                  "parity_headtohead.json"))
+    ap.add_argument("--skip", nargs="*", default=[],
+                    choices=["ref-sasrec", "ref-tiger", "tpu-sasrec",
+                             "tpu-tiger"])
+    args = ap.parse_args()
+
+    results = {"config": vars(args)}
+    runs: dict = {k: [] for k in
+                  ("ref_sasrec", "tpu_sasrec", "ref_tiger", "tpu_tiger")}
+
+    for seed in args.seeds:
+        ddir = os.path.join(args.workdir, f"data_s{seed}")
+        make_corpus(ddir, args.users, args.items, seed)
+        print(f"[seed {seed}] corpus written to {ddir}", flush=True)
+
+        jobs = [
+            ("ref_sasrec", "ref-sasrec", run_ref_sasrec, args.sasrec_epochs),
+            ("tpu_sasrec", "tpu-sasrec", run_tpu_sasrec, args.sasrec_epochs),
+            ("ref_tiger", "ref-tiger", run_ref_tiger, args.tiger_epochs),
+            ("tpu_tiger", "tpu-tiger", run_tpu_tiger, args.tiger_epochs),
+        ]
+        for key, skip_key, fn, epochs in jobs:
+            if skip_key in args.skip:
+                continue
+            wdir = os.path.join(args.workdir, f"{key}_s{seed}")
+            t0 = time.time()
+            out = fn(ddir, wdir, epochs, model_seed=42)
+            print(f"[seed {seed}] {key}: {time.time()-t0:.0f}s "
+                  + json.dumps({k: round(v, 4) for k, v in out.items()
+                                if "@" in k}), flush=True)
+            runs[key].append(out)
+
+    results["runs"] = runs
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2, default=float)
+    print(f"wrote {args.out}")
+
+    # PARITY.md
+    md = [
+        "# PARITY — head-to-head vs the PyTorch reference",
+        "",
+        f"Same synthetic corpora ({args.users} users × {args.items} items, "
+        f"corpus seeds {args.seeds}), same H5 contract files, same "
+        "hyperparameters (the reference `main.py` param dicts). Reference "
+        "runs the actual `/root/reference` code on torch CPU; genrec-tpu "
+        "runs its pipelines on the default backend (one TPU chip). TIGER "
+        "decodes UNCONSTRAINED on both sides (the trie-constrained mode is "
+        "a genrec-tpu improvement, off for parity). Harness: "
+        "`scripts/parity_headtohead.py`.",
+        "",
+    ]
+    sas_metrics = [f"Hit@{k}" for k in TOPK] + [f"NDCG@{k}" for k in TOPK]
+    tig_metrics = [f"Recall@{k}" for k in TOPK] + [f"NDCG@{k}" for k in TOPK]
+    if runs["ref_sasrec"] and runs["tpu_sasrec"]:
+        md.append(_fmt_table("SASRec (leave-one-out, strict rank)",
+                             sas_metrics, runs["ref_sasrec"],
+                             runs["tpu_sasrec"], args.seeds))
+    if runs["ref_tiger"] and runs["tpu_tiger"]:
+        md.append(_fmt_table("TIGER (beam 20, exact-sequence match)",
+                             tig_metrics, runs["ref_tiger"],
+                             runs["tpu_tiger"], args.seeds))
+    md.append("Raw runs (incl. wall-clock and throughput): "
+              "`artifacts/parity_headtohead.json`.\n")
+    with open(os.path.join(REPO, "PARITY.md"), "w") as f:
+        f.write("\n".join(md))
+    print("wrote PARITY.md")
+
+
+if __name__ == "__main__":
+    main()

@@ -116,12 +116,11 @@ def test_kmeans_clusters():
 
 # -------------------------------------------------------------- beam search
 def _uniform_decode_fn(scores_per_step):
-    """decode_fn emitting fixed per-step token scores (B*K, L, V)."""
-    def fn(tokens):
-        n, L = tokens.shape
+    """decode_fn(tokens, step) emitting fixed per-step token scores (B*K, V)."""
+    def fn(tokens, step):
+        n = tokens.shape[0]
         V = scores_per_step.shape[-1]
-        logits = jnp.broadcast_to(scores_per_step[None, :, :], (n, L - 1, V))
-        return jnp.concatenate([logits, jnp.zeros((n, 1, V))], axis=1)[:, :L]
+        return jnp.broadcast_to(scores_per_step[step][None, :], (n, V))
     return fn
 
 
