@@ -238,6 +238,34 @@ class ShardedEmbeddingConfig:
     dtype: str = "float32"
 
 
+@dataclasses.dataclass(frozen=True)
+class SASRecLargeConfig:
+    """SASRec tower over a row-sharded item table (north-star config 5).
+
+    Departures from :class:`SASRecConfig` (see
+    `genrec_tpu/models/sasrec_large.py` module docstring): the (V+1, dim)
+    item table is sharded ``P('model', None)`` and training uses sampled
+    BCE instead of the (B, n, V) full-vocab score matrix of
+    `SASRec/train.py:131-137`, which does not exist at 10M items.
+    """
+
+    max_len: int = 20
+    num_blocks: int = 2
+    num_heads: int = 2
+    mlp_layer: int = 256
+    dropout: float = 0.2
+    layernorm_eps: float = 1e-8
+    num_neg_samples: int = 64
+    loss_eps: float = 1e-24
+    topk_list: Tuple[int, ...] = (10, 100)
+    embedding: ShardedEmbeddingConfig = dataclasses.field(
+        default_factory=ShardedEmbeddingConfig)
+    trainer: TrainerConfig = dataclasses.field(
+        default_factory=lambda: TrainerConfig(batch_size=4096, lr=1e-3))
+    mesh: MeshConfig = dataclasses.field(
+        default_factory=lambda: MeshConfig(data_axis=-1, model_axis=2))
+
+
 def replace(cfg, **kw):
     """Functional config override: `replace(SASRecConfig(), d=64)`."""
     return dataclasses.replace(cfg, **kw)

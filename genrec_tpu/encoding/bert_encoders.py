@@ -177,21 +177,70 @@ def encode_user_profiles(user_profile_map: Dict[int, str],
     return encoder.encode(texts, pooling="cls")
 
 
-def encode_major_hierarchy(levels: Sequence[Sequence[Tuple[str, str]]],
+def encode_major_hierarchy(levels: Sequence[Sequence[Tuple[str, ...]]],
                            encoder: Optional[BertEncoder] = None,
                            dim: int = 768) -> List[Dict[str, np.ndarray]]:
-    """[(code, name)...] per level → per-level {codes, names, embs}
-    (`major-encode/bert_emb.py:131-168`)."""
+    """[(code, name[, text])...] per level → per-level {codes, names, embs}
+    (`major-encode/bert_emb.py:131-168`). When a row carries an assembled
+    description text (third element — the Excel ingestion path,
+    :func:`load_major_hierarchy_xlsx`), that text is encoded; otherwise the
+    name is."""
     out = []
     for level in levels:
-        codes = [c for c, _ in level]
-        names = [n for _, n in level]
-        embs = (_hash_embed(names, dim) if encoder is None
-                else encoder.encode(names, pooling="mean_no_cls"))
+        codes = [row[0] for row in level]
+        names = [row[1] for row in level]
+        texts = [row[2] if len(row) > 2 and row[2] else row[1]
+                 for row in level]
+        embs = (_hash_embed(texts, dim) if encoder is None
+                else encoder.encode(texts, pooling="mean_no_cls"))
         out.append({"codes": np.array(codes, dtype=object),
                     "names": np.array(names, dtype=object),
                     "embs": embs})
     return out
+
+
+def load_major_hierarchy_xlsx(path: str) -> List[List[Tuple[str, str, str]]]:
+    """3-sheet major-hierarchy workbook → [(code, name, text)...] ×3.
+
+    Semantics of `major-encode/bert_emb.py:50-124` on sheets
+    Level1/Level2/Level3 (header row skipped, rows with empty code
+    dropped):
+    - Level1: text = intro + "大类通识课程：" + general courses,
+    - Level2: text = intro + "专业核心课程：" + core courses (one row per
+      分流专业 — duplicate codes are kept),
+    - Level3: text = the intro column, falling back to the name when empty.
+
+    Implemented on the stdlib xlsx reader (`genrec_tpu.utils.xlsx`) —
+    openpyxl is not required.
+    """
+    from genrec_tpu.utils.xlsx import Workbook
+
+    wb = Workbook(path)
+    try:
+        out: List[List[Tuple[str, str, str]]] = []
+        for sheet, course_label in (("Level1", "大类通识课程："),
+                                    ("Level2", "专业核心课程："),
+                                    ("Level3", None)):
+            rows: List[Tuple[str, str, str]] = []
+            for row in wb.rows(sheet)[1:]:  # skip header
+                row = list(row) + [None] * (4 - len(row))
+                code, name, intro, courses = row[:4]
+                if code is None:
+                    continue
+                if course_label is None:  # Level3
+                    text = str(intro).strip() if intro else str(name)
+                else:
+                    parts = []
+                    if intro:
+                        parts.append(str(intro))
+                    if courses:
+                        parts.append(course_label + str(courses))
+                    text = " ".join(parts)
+                rows.append((str(code), str(name), text))
+            out.append(rows)
+        return out
+    finally:
+        wb.close()
 
 
 def user_embedding_from_items(item_embs: np.ndarray,

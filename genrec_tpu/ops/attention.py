@@ -138,10 +138,24 @@ def flash_attention(q, k, v, bias=None, *, causal: bool = False,
     return out.reshape(b, h, lq, d)
 
 
+def is_tpu_backend() -> bool:
+    """True on real TPU hardware, including tunneled PJRT platforms whose
+    backend name isn't literally 'tpu' (this host reports 'axon' while the
+    device kind is a TPU chip)."""
+    if jax.default_backend() == "tpu":
+        return True
+    try:
+        d = jax.devices()[0]
+        return "tpu" in (d.device_kind or "").lower() or \
+               "tpu" in (d.platform or "").lower()
+    except Exception:
+        return False
+
+
 def _use_pallas(lq: int, lk: int, d: int) -> bool:
     """Heuristic: only dispatch to the kernel on TPU at sizes where the
     blockwise pipeline beats XLA's fusion (long sequences)."""
-    if jax.default_backend() not in ("tpu",):
+    if not is_tpu_backend():
         return False
     return lq >= 256 and lk >= 256 and lq % 128 == 0 and lk % 128 == 0
 

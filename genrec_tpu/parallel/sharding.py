@@ -21,6 +21,7 @@ Rules = Sequence[Tuple[str, P]]
 # split T5 d_ff over 'model'; everything else replicated.
 DEFAULT_RULES: Rules = (
     (r"item_emb/embedding$", P("model", None)),
+    (r"item_table$", P("model", None)),       # SASRecLarge row-sharded table
     (r"shared/embedding$", P(None, None)),   # tiny vocab (64) — replicate
     (r"codebook_\d+$", P(None, None)),       # small codebooks — replicate
     (r"ff/wi/kernel$", P(None, "model")),    # TP: d_model × d_ff

@@ -100,7 +100,8 @@ def train(cfg: RQVAEConfig,
     _mesh, _bs, _rs = dp_shardings(cfg.mesh)
     trainer = Trainer(tcfg, init_params=params, loss_fn=loss_fn,
                       steps_per_epoch=steps, logger_name="rqvae",
-                      batch_sharding=_bs, replicate_sharding=_rs)
+                      batch_sharding=_bs, replicate_sharding=_rs,
+                      train_data=arrays)
 
     best_collision = {"rate": float("inf"), "params": params}
 
@@ -116,12 +117,7 @@ def train(cfg: RQVAEConfig,
             tr.store.save_best({"params": best_collision["params"]},
                                tag="best_collision")
 
-    result = trainer.fit(
-        lambda epoch: datasets.iterate_batches(arrays, tcfg.batch_size,
-                                               shuffle=True, seed=tcfg.seed + epoch,
-                                               drop_last=False),
-        epoch_end_callback=on_epoch_end,
-    )
+    result = trainer.fit(epoch_end_callback=on_epoch_end)
     if not np.isfinite(best_collision["rate"]):
         idx = _batched_indices(model, result.best_params, embs)
         best_collision = {"rate": collision_rate(idx),

@@ -63,21 +63,14 @@ def train(cfg: SASRecConfig,
     tcfg = cfg.trainer
     steps = datasets.num_batches(len(tr.inputs), tcfg.batch_size)
     _mesh, _bs, _rs = dp_shardings(cfg.mesh)
-    device_resident = _bs is None  # single device: upload datasets once
+    # device-resident on any device count (datasets replicated, batches
+    # gathered + sharded on device inside the epoch scan)
     trainer = Trainer(tcfg, init_params=params, loss_fn=loss_fn,
                       eval_loss_fn=val_fn, steps_per_epoch=steps,
                       logger_name="sasrec",
                       batch_sharding=_bs, replicate_sharding=_rs,
-                      train_data=tr.arrays if device_resident else None,
-                      val_data=te.arrays if device_resident else None)
-    result = trainer.fit(
-        None if device_resident else
-        lambda epoch: datasets.iterate_batches(tr.arrays, tcfg.batch_size,
-                                               shuffle=True, seed=tcfg.seed + epoch),
-        None if device_resident else
-        lambda epoch: datasets.iterate_batches(te.arrays, tcfg.eval_batch_size,
-                                               shuffle=False),
-    )
+                      train_data=tr.arrays, val_data=te.arrays)
+    result = trainer.fit()
     return SASRecArtifacts(params=result.best_params, item_num=item_num,
                            result=result)
 

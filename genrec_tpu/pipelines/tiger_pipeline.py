@@ -77,22 +77,16 @@ def train(cfg: TIGERConfig,
     tcfg = cfg.trainer
     steps = datasets.num_batches(len(train_arrays.input_ids), tcfg.batch_size)
     _mesh, _bs, _rs = dp_shardings(cfg.mesh)
-    device_resident = _bs is None  # single device: upload datasets once
+    # device-resident on ANY device count: datasets upload once (replicated
+    # on a mesh) and each epoch is one lax.scan with batches gathered and
+    # sharded on device — no per-batch host dispatch even under DP
     trainer = Trainer(tcfg, init_params=params, loss_fn=loss_fn,
                       eval_loss_fn=val_fn, steps_per_epoch=steps,
                       logger_name="tiger",
                       batch_sharding=_bs, replicate_sharding=_rs,
-                      train_data=train_arrays.arrays if device_resident else None,
-                      val_data=test_arrays.arrays if device_resident else None)
-    result = trainer.fit(
-        None if device_resident else
-        lambda epoch: datasets.iterate_batches(
-            train_arrays.arrays, tcfg.batch_size, shuffle=True,
-            seed=tcfg.seed + epoch),
-        None if device_resident else
-        lambda epoch: datasets.iterate_batches(
-            test_arrays.arrays, tcfg.eval_batch_size, shuffle=False),
-    )
+                      train_data=train_arrays.arrays,
+                      val_data=test_arrays.arrays)
+    result = trainer.fit()
     return TIGERArtifacts(params=result.best_params, result=result)
 
 

@@ -114,6 +114,51 @@ def bench_sharded_table(mesh, rows: int, dim: int = 64, batch: int = 8192,
             "step_ms": 1000 * dt / steps}
 
 
+def bench_sasrec_large(mesh, rows: int, dim: int = 64,
+                       batch_per_device: int = 512, steps: int = 20):
+    """Full SASRecLarge train step (sampled BCE, every embedding read via
+    the sharded psum-gather) on a ``rows``-row table."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from genrec_tpu.configs import SASRecLargeConfig, ShardedEmbeddingConfig
+    from genrec_tpu.models.sasrec_large import SASRecLarge, make_train_step
+    from genrec_tpu.parallel.sharding import shard_params
+
+    M = mesh.shape["model"]
+    rows = (rows // max(M, 1)) * max(M, 1)
+    cfg = SASRecLargeConfig(
+        embedding=ShardedEmbeddingConfig(vocab_size=rows, dim=dim))
+    item_num = rows - 1
+    B = batch_per_device * mesh.shape["data"]
+    model = SASRecLarge(item_num=item_num, cfg=cfg, mesh=mesh)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(1, item_num, size=(B, cfg.max_len)), jnp.int32)
+    t = jnp.asarray(rng.integers(1, item_num, size=(B, cfg.max_len)), jnp.int32)
+    params = SASRecLarge(item_num=item_num, cfg=cfg, mesh=mesh,
+                         use_sharded=False).init(jax.random.PRNGKey(0), x)
+    params = shard_params(params, mesh)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+    bs = NamedSharding(mesh, P("data"))
+    x, t = jax.device_put(x, bs), jax.device_put(t, bs)
+    step = make_train_step(model, tx, cfg, item_num)
+    key = jax.random.PRNGKey(1)
+    for _ in range(3):
+        params, opt_state, loss = step(params, opt_state, x, t, key)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        params, opt_state, loss = step(params, opt_state, x, t, key)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return {"model": "sasrec_large", "rows": rows, "dim": dim,
+            "global_batch": B, "examples_per_sec": steps * B / dt,
+            "step_ms": 1000 * dt / steps}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--virtual", action="store_true",
@@ -121,6 +166,8 @@ def main():
     ap.add_argument("--big-table", action="store_true",
                     help="bench the 10M-row sharded table")
     ap.add_argument("--batch-per-device", type=int, default=256)
+    ap.add_argument("--out", default=None,
+                    help="write all rows to this JSON artifact")
     args = ap.parse_args()
 
     if args.virtual:
@@ -151,9 +198,18 @@ def main():
     table_rows = 10_000_000 if args.big_table else 1_000_000
     mesh = make_mesh(MeshConfig(data_axis=max(n // 2, 1),
                                 model_axis=2 if n >= 2 else 1))
-    r = bench_sharded_table(mesh, table_rows)
-    r["mesh"] = f"{mesh.shape['data']}x{mesh.shape['model']}"
-    print(json.dumps(r), flush=True)
+    for fn in (bench_sharded_table, bench_sasrec_large):
+        r = fn(mesh, table_rows)
+        r["mesh"] = f"{mesh.shape['data']}x{mesh.shape['model']}"
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    if args.out:
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump({"backend": jax.default_backend(),
+                       "device_count": n, "results": results}, f, indent=2)
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":

@@ -152,3 +152,95 @@ def test_data_parallel_train_step_agrees_with_single(mesh_dp):
     g = jax.jit(jax.grad(loss))(ps, xs, ts)
     assert np.isfinite(float(jax.tree_util.tree_reduce(
         lambda a, b: a + jnp.sum(jnp.abs(b)), g, 0.0)))
+
+
+def test_sasrec_large_sharded_grads_match_replicated(mesh_2x4):
+    """North-star config 5: a 1M-row table trains through
+    sharded_embedding_lookup; grads + one optimizer step match the
+    replicated (plain jnp.take) run on identical params."""
+    import dataclasses
+
+    import optax
+
+    from genrec_tpu.configs import (SASRecLargeConfig, ShardedEmbeddingConfig,
+                                    TrainerConfig)
+    from genrec_tpu.models.sasrec_large import SASRecLarge, train_loss_sampled
+
+    cfg = SASRecLargeConfig(
+        max_len=8, num_blocks=1, num_heads=1, mlp_layer=16, dropout=0.0,
+        num_neg_samples=4,
+        embedding=ShardedEmbeddingConfig(vocab_size=1_000_000, dim=8),
+        trainer=TrainerConfig(batch_size=16))
+    item_num = cfg.embedding.vocab_size - 1  # table rows = item_num + 1
+    m_sh = SASRecLarge(item_num=item_num, cfg=cfg, mesh=mesh_2x4,
+                       use_sharded=True)
+    m_rep = SASRecLarge(item_num=item_num, cfg=cfg, mesh=mesh_2x4,
+                        use_sharded=False)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.integers(1, item_num, size=(16, 8)), jnp.int32)
+    t = jnp.asarray(rng.integers(1, item_num, size=(16, 8)), jnp.int32)
+    x = x.at[:, :2].set(0)  # left padding
+    t = t.at[:, :2].set(0)
+
+    params = m_rep.init(jax.random.PRNGKey(0), x)
+    params_sh = shard_params(params, mesh_2x4)
+    assert (params_sh["params"]["item_table"].sharding.spec
+            == P("model", None))
+    xs = jax.device_put(x, batch_spec(mesh_2x4))
+    ts = jax.device_put(t, batch_spec(mesh_2x4))
+    key = jax.random.PRNGKey(7)
+
+    def loss_sh(p):
+        l, _ = train_loss_sampled(m_sh, p, xs, ts, key, cfg, item_num)
+        return l
+
+    def loss_rep(p):
+        l, _ = train_loss_sampled(m_rep, p, x, t, key, cfg, item_num)
+        return l
+
+    (l1, g1) = jax.jit(jax.value_and_grad(loss_sh))(params_sh)
+    (l2, g2) = jax.jit(jax.value_and_grad(loss_rep))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    for path_g1, path_g2 in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g2)):
+        np.testing.assert_allclose(np.asarray(path_g1[1]),
+                                   np.asarray(path_g2[1]), atol=1e-5,
+                                   err_msg=str(path_g1[0]))
+
+    # one full optimizer step through the sharded path stays sharded+finite
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params_sh)
+    updates, opt_state = tx.update(g1, opt_state, params_sh)
+    new_params = optax.apply_updates(params_sh, updates)
+    assert (new_params["params"]["item_table"].sharding.spec
+            == P("model", None))
+    l3 = jax.jit(loss_sh)(new_params)
+    assert np.isfinite(float(l3)) and float(l3) < float(l1)
+
+
+def test_sasrec_large_sharded_topk_exact(mesh_2x4):
+    """predict_topk via per-shard scoring equals the dense full-vocab topk."""
+    from genrec_tpu.configs import SASRecLargeConfig, ShardedEmbeddingConfig
+    from genrec_tpu.models.sasrec_large import SASRecLarge
+
+    cfg = SASRecLargeConfig(
+        max_len=8, num_blocks=1, num_heads=1, mlp_layer=16, dropout=0.0,
+        embedding=ShardedEmbeddingConfig(vocab_size=256, dim=8))
+    item_num = cfg.embedding.vocab_size - 1
+    m_sh = SASRecLarge(item_num=item_num, cfg=cfg, mesh=mesh_2x4)
+    m_rep = SASRecLarge(item_num=item_num, cfg=cfg, mesh=mesh_2x4,
+                        use_sharded=False)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.integers(1, item_num, size=(8, 8)), jnp.int32)
+    params = m_rep.init(jax.random.PRNGKey(2), x)
+    params_sh = shard_params(params, mesh_2x4)
+    xs = jax.device_put(x, batch_spec(mesh_2x4))
+
+    v1, i1 = jax.jit(lambda p, xx: m_sh.apply(
+        p, xx, 10, method=SASRecLarge.predict_topk))(params_sh, xs)
+    v2, i2 = jax.jit(lambda p, xx: m_rep.apply(
+        p, xx, 10, method=SASRecLarge.predict_topk))(params, x)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

@@ -70,3 +70,63 @@ def test_cli_synth_roundtrip(tmp_path):
     split = contracts.read_tiger_split(os.path.join(out, "tiger",
                                                     "train_dataset.h5"))
     assert len(split.histories) > 0
+
+
+def test_xlsx_roundtrip_and_major_hierarchy(tmp_path):
+    """stdlib xlsx writer → reader round-trip, then the 3-sheet major
+    hierarchy ingestion (`major-encode/bert_emb.py:50-124` semantics)."""
+    from genrec_tpu.encoding.bert_encoders import (encode_major_hierarchy,
+                                                   load_major_hierarchy_xlsx)
+    from genrec_tpu.utils.xlsx import Workbook, write_xlsx
+
+    path = str(tmp_path / "majors.xlsx")
+    sheets = {
+        "Level1": [
+            ["大类代码", "大类名称", "大类简介及培养目标", "大类通识课程"],
+            ["01", "哲学", "研究智慧之学", "哲学导论, 逻辑学"],
+            [None, "空行应被跳过", "x", "y"],
+            ["02", "经济学", None, "微观经济学"],
+        ],
+        "Level2": [
+            ["代码", "名称", "简介", "核心课程"],
+            ["0101", "哲学", "本专业培养...", "中国哲学史"],
+            ["0101", "伦理学", "分流专业同码", None],
+        ],
+        "Level3": [
+            ["代码", "名称", "学类简介及培养目标"],
+            ["010101", "马克思主义哲学", "简介文本"],
+            ["010102", "外国哲学", None],  # 空简介 → 退回名称
+        ],
+    }
+    write_xlsx(path, sheets)
+
+    wb = Workbook(path)
+    assert wb.sheet_names == ["Level1", "Level2", "Level3"]
+    rows = wb.rows("Level1")
+    assert rows[0][0] == "大类代码" and rows[1][1] == "哲学"
+    wb.close()
+
+    levels = load_major_hierarchy_xlsx(path)
+    l1, l2, l3 = levels
+    assert l1 == [
+        ("01", "哲学", "研究智慧之学 大类通识课程：哲学导论, 逻辑学"),
+        ("02", "经济学", "大类通识课程：微观经济学"),
+    ]
+    assert l2 == [
+        ("0101", "哲学", "本专业培养... 专业核心课程：中国哲学史"),
+        ("0101", "伦理学", "分流专业同码"),
+    ]
+    assert l3 == [
+        ("010101", "马克思主义哲学", "简介文本"),
+        ("010102", "外国哲学", "外国哲学"),
+    ]
+
+    # encodes the assembled text (hash-embed fallback is deterministic)
+    enc = encode_major_hierarchy(levels, encoder=None, dim=32)
+    assert len(enc) == 3 and enc[0]["embs"].shape == (2, 32)
+    assert list(enc[0]["codes"]) == ["01", "02"]
+    # numeric cells survive as numbers via the generic reader
+    write_xlsx(path, {"S": [["a", 1, 2.5, True, None, "b"]]})
+    wb = Workbook(path)
+    assert wb.rows("S")[0] == ["a", 1, 2.5, True, None, "b"]
+    wb.close()
