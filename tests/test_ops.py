@@ -42,8 +42,10 @@ def test_flash_attention_compiled_on_tpu():
     v = jax.random.normal(jax.random.PRNGKey(2), (b, h, l, d))
     ref = _xla_attention(q, k, v, None, True)
     out = jax.jit(lambda q, k, v: flash_attention(q, k, v, causal=True))(q, k, v)
+    # bf16-granularity bound: the MXU truncates f32 matmul inputs to bf16
+    # at DEFAULT precision on both the Pallas and the XLA path.
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               atol=2e-3, rtol=2e-3)
+                               atol=2e-2, rtol=2e-2)
 
 
 def test_flash_attention_with_bias():
