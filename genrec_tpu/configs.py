@@ -72,6 +72,11 @@ class SASRecConfig:
     topk_list: Tuple[int, ...] = (2, 5, 10, 20)
     top_k: int = 10  # reference reads params['top_k'] in evaluate.py:45 (absent
     # from its main.py — a latent KeyError); we give it the intended default.
+    emb_init_stddev: Optional[float] = None  # None → 1/√d (flax-idiomatic);
+    # 1.0 reproduces torch nn.Embedding N(0,1) (`SASRec/model.py:18-19`) —
+    # at d=16 the init scale decides where the val-BCE hump bottoms out and
+    # therefore what the reference's early-stop protocol selects, so the
+    # parity harness sets 1.0 to follow the reference's trajectory.
     trainer: TrainerConfig = dataclasses.field(
         default_factory=lambda: TrainerConfig(batch_size=128, eval_batch_size=128,
                                               epochs=100, lr=1e-3)

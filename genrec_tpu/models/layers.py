@@ -38,11 +38,14 @@ class PaddedEmbed(nn.Module):
     num_embeddings: int
     features: int
     dtype: jnp.dtype = jnp.float32
+    init_stddev: float | None = None  # None → 1/√features; 1.0 = torch nn.Embedding
 
     @nn.compact
     def __call__(self, ids):
+        std = (1.0 / self.features ** 0.5 if self.init_stddev is None
+               else self.init_stddev)
         table = self.param(
-            "embedding", nn.initializers.normal(stddev=1.0 / self.features ** 0.5),
+            "embedding", nn.initializers.normal(stddev=std),
             (self.num_embeddings, self.features))
         out = jnp.take(table, ids, axis=0).astype(self.dtype)
         return out * (ids != 0)[..., None].astype(self.dtype)

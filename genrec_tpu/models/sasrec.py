@@ -64,8 +64,11 @@ class SASRec(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.item_emb = PaddedEmbed(self.item_num + 1, c.d)
-        self.pos_emb = nn.Embed(c.max_len, c.d)
+        self.item_emb = PaddedEmbed(self.item_num + 1, c.d,
+                                    init_stddev=c.emb_init_stddev)
+        pos_init = (nn.initializers.normal(stddev=c.emb_init_stddev)
+                    if c.emb_init_stddev is not None else nn.linear.default_embed_init)
+        self.pos_emb = nn.Embed(c.max_len, c.d, embedding_init=pos_init)
         self.blocks = [
             SASRecBlock(c.d, c.num_heads, c.mlp_layer, c.dropout, c.layernorm_eps)
             for _ in range(c.num_blocks)
@@ -97,6 +100,17 @@ class SASRec(nn.Module):
                           preferred_element_type=jnp.float32)
 
 
+def _bce(scores, positive: bool, eps: float):
+    """Reference BCE term `-log(sigmoid(s) + eps)` / `-log(1 - sigmoid(s) + eps)`
+    (`SASRec/train.py:150-160`) in logit space: softplus(∓s) capped at
+    -log(eps). The literal form is jit-unsafe — XLA's fusion rewrites
+    `1 - sigmoid(s) + eps` such that at s ≳ 17 (where sigmoid(s) rounds to
+    exactly 1.0 in f32) the log yields -inf; softplus is exact within f32
+    rounding wherever the cap doesn't bind."""
+    x = -scores if positive else scores
+    return jnp.minimum(jax.nn.softplus(x), -jnp.log(jnp.asarray(eps)))
+
+
 def train_loss(model: SASRec, params, inputs, targets, rng,
                cfg: SASRecConfig, item_num: int,
                batch_valid=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -119,9 +133,8 @@ def train_loss(model: SASRec, params, inputs, targets, rng,
     neg_exp = jnp.broadcast_to(neg[:, None, :], (neg.shape[0], seq_len, neg.shape[1]))
     neg_scores = jnp.take_along_axis(scores, neg_exp.astype(jnp.int32), axis=2)
 
-    eps = cfg.loss_eps
-    pos_loss = -jnp.log(jax.nn.sigmoid(pos_scores) + eps) * mask
-    neg_loss = jnp.sum(-jnp.log(1 - jax.nn.sigmoid(neg_scores) + eps), axis=-1) * mask
+    pos_loss = _bce(pos_scores, True, cfg.loss_eps) * mask
+    neg_loss = jnp.sum(_bce(neg_scores, False, cfg.loss_eps), axis=-1) * mask
     batch_loss = jnp.sum(pos_loss + neg_loss)
     valid = jnp.sum(mask)
     return batch_loss / jnp.maximum(valid, 1.0), valid
@@ -140,9 +153,7 @@ def eval_loss(model: SASRec, params, inputs, targets, rng,
     neg_emb = jnp.take(table, neg, axis=0)
     pos_score = jnp.sum(h * pos_emb, axis=-1)
     neg_score = jnp.sum(h * neg_emb, axis=-1)
-    eps = cfg.loss_eps
-    per = (-jnp.log(jax.nn.sigmoid(pos_score) + eps)
-           - jnp.log(1 - jax.nn.sigmoid(neg_score) + eps))
+    per = _bce(pos_score, True, cfg.loss_eps) + _bce(neg_score, False, cfg.loss_eps)
     valid_mask = (targets != 0)
     if batch_valid is not None:
         valid_mask = valid_mask & batch_valid

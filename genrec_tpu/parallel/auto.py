@@ -13,7 +13,9 @@ import jax
 
 from genrec_tpu.configs import MeshConfig
 from genrec_tpu.parallel.mesh import make_mesh
-from genrec_tpu.parallel.sharding import batch_spec, replicate_spec
+from genrec_tpu.parallel.sharding import (
+    DEFAULT_RULES, _divisible, batch_spec, match_partition_rules,
+    replicate_spec)
 
 
 def dp_shardings(mesh_cfg: Optional[MeshConfig] = None
@@ -23,3 +25,20 @@ def dp_shardings(mesh_cfg: Optional[MeshConfig] = None
         return None, None, None
     mesh = make_mesh(mesh_cfg or MeshConfig())
     return mesh, batch_spec(mesh), replicate_spec(mesh)
+
+
+def param_shardings(mesh, params, rules=DEFAULT_RULES):
+    """Per-parameter NamedShardings from the regex partition rules — the
+    tensor-parallel layout (d_ff/attention-head splits, row-sharded tables)
+    over the mesh's 'model' axis. Returns None when there is no mesh or the
+    model axis is 1 (pure DP: a single replicated sharding is cheaper to
+    dispatch than a per-leaf tree). Non-dividing leaves fall back to
+    replication, mirroring `shard_params`."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    if mesh is None or dict(mesh.shape).get("model", 1) <= 1:
+        return None
+    specs = match_partition_rules(rules, params)
+    return jax.tree_util.tree_map(
+        lambda leaf, spec: NamedSharding(
+            mesh, spec if _divisible(leaf.shape, spec, mesh) else P()),
+        params, specs)

@@ -20,7 +20,7 @@ from genrec_tpu.data import datasets
 from genrec_tpu.data.contracts import InteractionData, read_interactions
 from genrec_tpu.eval.evaluator import rank_evaluate
 from genrec_tpu.models.sasrec import SASRec, eval_loss, train_loss
-from genrec_tpu.parallel.auto import dp_shardings
+from genrec_tpu.parallel.auto import dp_shardings, param_shardings
 from genrec_tpu.train.trainer import Trainer, TrainLoopResult
 from genrec_tpu.utils.csv_results import append_results_csv
 
@@ -69,6 +69,7 @@ def train(cfg: SASRecConfig,
                       eval_loss_fn=val_fn, steps_per_epoch=steps,
                       logger_name="sasrec",
                       batch_sharding=_bs, replicate_sharding=_rs,
+                      param_shardings=param_shardings(_mesh, params),
                       train_data=tr.arrays, val_data=te.arrays)
     result = trainer.fit()
     return SASRecArtifacts(params=result.best_params, item_num=item_num,

@@ -21,7 +21,7 @@ from genrec_tpu.data.contracts import read_codes, read_tiger_split
 from genrec_tpu.eval.evaluator import beam_evaluate
 from genrec_tpu.models import tiger as tiger_mod
 from genrec_tpu.models.tiger import TIGER
-from genrec_tpu.parallel.auto import dp_shardings
+from genrec_tpu.parallel.auto import dp_shardings, param_shardings
 from genrec_tpu.train.trainer import Trainer, TrainLoopResult
 from genrec_tpu.utils.csv_results import append_results_csv
 
@@ -79,11 +79,14 @@ def train(cfg: TIGERConfig,
     _mesh, _bs, _rs = dp_shardings(cfg.mesh)
     # device-resident on ANY device count: datasets upload once (replicated
     # on a mesh) and each epoch is one lax.scan with batches gathered and
-    # sharded on device — no per-batch host dispatch even under DP
+    # sharded on device — no per-batch host dispatch even under DP.
+    # With mesh.model_axis > 1 params additionally get the TP layout
+    # (d_ff/attention splits per parallel/sharding.DEFAULT_RULES).
     trainer = Trainer(tcfg, init_params=params, loss_fn=loss_fn,
                       eval_loss_fn=val_fn, steps_per_epoch=steps,
                       logger_name="tiger",
                       batch_sharding=_bs, replicate_sharding=_rs,
+                      param_shardings=param_shardings(_mesh, params),
                       train_data=train_arrays.arrays,
                       val_data=test_arrays.arrays)
     result = trainer.fit()

@@ -66,6 +66,7 @@ class Trainer:
         logger_name: str = "genrec",
         batch_sharding=None,
         replicate_sharding=None,
+        param_shardings=None,
         train_data: Optional[Dict[str, np.ndarray]] = None,
         val_data: Optional[Dict[str, np.ndarray]] = None,
         extra_data: Optional[Dict[str, np.ndarray]] = None,
@@ -101,7 +102,13 @@ class Trainer:
             assert cfg.batch_size % d == 0 and cfg.eval_batch_size % d == 0, (
                 f"batch sizes ({cfg.batch_size}/{cfg.eval_batch_size}) must "
                 f"divide the data axis ({d}) — padded batches shard evenly")
-        if replicate_sharding is not None:
+        if param_shardings is not None:
+            # tensor-parallel layout: place each param per its rule, then
+            # re-init the optimizer from the placed tree so mu/nu inherit
+            # the same shardings (eager zeros_like preserves placement).
+            self.params = jax.device_put(self.params, param_shardings)
+            self.opt_state = self.tx.init(self.params)
+        elif replicate_sharding is not None:
             self.params = jax.device_put(self.params, replicate_sharding)
             self.opt_state = jax.device_put(self.opt_state, replicate_sharding)
 

@@ -92,7 +92,8 @@ class Workbook:
             raise KeyError(f"no sheet {sheet_name!r}; have {self.sheet_names}")
         root = ET.fromstring(self._zf.read(self._sheets[sheet_name]))
         out: List[List[Any]] = []
-        for row in root.find("m:sheetData", _NS) or ():
+        sheet_data = root.find("m:sheetData", _NS)
+        for row in (sheet_data if sheet_data is not None else ()):
             cells: Dict[int, Any] = {}
             for i, c in enumerate(row.findall("m:c", _NS)):
                 ref = c.get("r")

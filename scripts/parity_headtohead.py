@@ -174,6 +174,11 @@ def run_tpu_sasrec(datadir: str, workdir: str, epochs: int,
     from genrec_tpu.pipelines import sasrec_pipeline
     cfg = configs.SASRecConfig(
         data_path=os.path.join(datadir, "user_item_interact.h5"),
+        # torch nn.Embedding init (N(0,1)): at d=16 the init scale decides
+        # where the val-BCE curve bottoms and therefore which epoch the
+        # reference's early-stop protocol selects — parity must follow the
+        # reference's trajectory, so match its init here.
+        emb_init_stddev=1.0,
         trainer=dataclasses.replace(
             configs.SASRecConfig().trainer, epochs=epochs, seed=model_seed,
             early_stop_patience=10, ckpt_dir=os.path.join(workdir, "ckpt"),
@@ -184,6 +189,7 @@ def run_tpu_sasrec(datadir: str, workdir: str, epochs: int,
            sasrec_pipeline.evaluate(cfg, art).items()}
     out["wall_seconds"] = time.time() - t0
     out["train_examples_per_sec"] = art.result.examples_per_sec
+    out["steady_examples_per_sec"] = art.result.steady_examples_per_sec
     return out
 
 
@@ -208,6 +214,7 @@ def run_tpu_tiger(datadir: str, workdir: str, epochs: int,
     out["eval_seconds"] = time.time() - t1
     out["wall_seconds"] = time.time() - t0
     out["train_examples_per_sec"] = art.result.examples_per_sec
+    out["steady_examples_per_sec"] = art.result.steady_examples_per_sec
     return out
 
 
@@ -215,22 +222,23 @@ def run_tpu_tiger(datadir: str, workdir: str, epochs: int,
 # report
 # ---------------------------------------------------------------------------
 
-def _fmt_table(title: str, metric_names, ref_runs, tpu_runs, seeds) -> str:
+def _fmt_table(title: str, metric_names, ref_runs, tpu_runs) -> str:
+    """Pooled mean [min–max] over all (corpus seed × model seed) runs per
+    side — the early-stop protocol's run-to-run variance dominates single
+    draws, so single-seed columns would overstate precision."""
     lines = [f"### {title}", ""]
-    lines.append("| metric | " + " | ".join(
-        f"ref seed {s} | tpu seed {s}" for s in seeds) +
-        " | ref mean | tpu mean | rel Δ |")
-    lines.append("|---" * (2 * len(seeds) + 4) + "|")
+    lines.append(f"| metric | ref mean [min–max] (n={len(ref_runs)}) "
+                 f"| genrec-tpu mean [min–max] (n={len(tpu_runs)}) | rel Δ of means |")
+    lines.append("|---|---|---|---|")
     for m in metric_names:
         ref_vals = [r[m] for r in ref_runs]
         tpu_vals = [r[m] for r in tpu_runs]
         rm, tm = float(np.mean(ref_vals)), float(np.mean(tpu_vals))
         rel = (tm - rm) / rm if rm else float("nan")
-        cells = []
-        for rv, tv in zip(ref_vals, tpu_vals):
-            cells += [f"{rv:.4f}", f"{tv:.4f}"]
-        lines.append("| " + m + " | " + " | ".join(cells) +
-                     f" | {rm:.4f} | {tm:.4f} | {rel:+.1%} |")
+        lines.append(
+            f"| {m} | {rm:.4f} [{min(ref_vals):.4f}–{max(ref_vals):.4f}] "
+            f"| {tm:.4f} [{min(tpu_vals):.4f}–{max(tpu_vals):.4f}] "
+            f"| {rel:+.1%} |")
     return "\n".join(lines) + "\n"
 
 
@@ -247,6 +255,9 @@ def main() -> None:
     ap.add_argument("--skip", nargs="*", default=[],
                     choices=["ref-sasrec", "ref-tiger", "tpu-sasrec",
                              "tpu-tiger"])
+    ap.add_argument("--model-seeds", type=int, nargs="+", default=[42],
+                    help="model/init seeds per corpus; >1 quantifies the "
+                    "early-stop protocol's run-to-run variance")
     args = ap.parse_args()
 
     results = {"config": vars(args)}
@@ -267,13 +278,16 @@ def main() -> None:
         for key, skip_key, fn, epochs in jobs:
             if skip_key in args.skip:
                 continue
-            wdir = os.path.join(args.workdir, f"{key}_s{seed}")
-            t0 = time.time()
-            out = fn(ddir, wdir, epochs, model_seed=42)
-            print(f"[seed {seed}] {key}: {time.time()-t0:.0f}s "
-                  + json.dumps({k: round(v, 4) for k, v in out.items()
-                                if "@" in k}), flush=True)
-            runs[key].append(out)
+            for mseed in args.model_seeds:
+                tag = f"_m{mseed}" if len(args.model_seeds) > 1 else ""
+                wdir = os.path.join(args.workdir, f"{key}_s{seed}{tag}")
+                t0 = time.time()
+                out = fn(ddir, wdir, epochs, model_seed=mseed)
+                out["corpus_seed"], out["model_seed"] = seed, mseed
+                print(f"[seed {seed} m{mseed}] {key}: {time.time()-t0:.0f}s "
+                      + json.dumps({k: round(v, 4) for k, v in out.items()
+                                    if "@" in k}), flush=True)
+                runs[key].append(out)
 
     results["runs"] = runs
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
@@ -300,11 +314,11 @@ def main() -> None:
     if runs["ref_sasrec"] and runs["tpu_sasrec"]:
         md.append(_fmt_table("SASRec (leave-one-out, strict rank)",
                              sas_metrics, runs["ref_sasrec"],
-                             runs["tpu_sasrec"], args.seeds))
+                             runs["tpu_sasrec"]))
     if runs["ref_tiger"] and runs["tpu_tiger"]:
         md.append(_fmt_table("TIGER (beam 20, exact-sequence match)",
                              tig_metrics, runs["ref_tiger"],
-                             runs["tpu_tiger"], args.seeds))
+                             runs["tpu_tiger"]))
     md.append("Raw runs (incl. wall-clock and throughput): "
               "`artifacts/parity_headtohead.json`.\n")
     with open(os.path.join(REPO, "PARITY.md"), "w") as f:

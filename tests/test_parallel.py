@@ -244,3 +244,49 @@ def test_sasrec_large_sharded_topk_exact(mesh_2x4):
         p, xx, 10, method=SASRecLarge.predict_topk))(params, x)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_tiger_pipeline_tensor_parallel_matches_dp(tmp_path):
+    """TIGER pipeline trains with the TP param layout (mesh 4×2: d_ff and
+    attention projections split over 'model') and its loss trajectory
+    matches the pure-DP run — TP only changes layout, never math."""
+    from genrec_tpu import configs
+    from genrec_tpu.data import datasets, synthetic, tiger_tokens
+    from genrec_tpu.pipelines import tiger_pipeline
+
+    corpus = synthetic.make_interactions(num_users=200, num_items=60,
+                                         min_len=4, max_len=12, num_topics=6,
+                                         topic_stickiness=0.95, seed=7)
+    codes = synthetic.make_codes(num_items=60, codebook_size=8, num_levels=3,
+                                 seed=5)
+    train_split, test_split = tiger_tokens.build_tiger_splits(
+        corpus.item_id_lists, corpus.user_ids, codes)
+    arch = configs.T5ArchConfig(vocab_size=64, num_layers=1,
+                                num_decoder_layers=1, d_model=32, d_ff=64,
+                                num_heads=2, d_kv=16, dropout_rate=0.0)
+
+    def run(model_axis):
+        cfg = configs.TIGERConfig(
+            arch=arch, max_len=8, beam_size=5, topk_list=(1, 5),
+            mesh=configs.MeshConfig(data_axis=8 // model_axis,
+                                    model_axis=model_axis),
+            trainer=configs.TrainerConfig(
+                epochs=2, batch_size=64, eval_batch_size=64, lr=1e-2,
+                ckpt_dir=str(tmp_path / f"ckpt_m{model_axis}"),
+                early_stop_patience=10, seed=0))
+        tr = datasets.build_tiger_arrays(train_split, cfg.max_len, cfg.code_dim)
+        te = datasets.build_tiger_arrays(test_split, cfg.max_len, cfg.code_dim,
+                                         max_target_items=1)
+        return tiger_pipeline.train(cfg, tr, te)
+
+    art_tp = run(model_axis=2)
+    # the TP layout actually applied: a d_ff kernel is split over 'model'
+    ff_sh = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map_with_path(
+            lambda p, x: x.sharding
+            if "wi" in "/".join(str(k) for k in p) else None,
+            art_tp.params["params"]))
+    assert any("model" in str(s.spec) for s in ff_sh if s is not None)
+    art_dp = run(model_axis=1)
+    np.testing.assert_allclose(art_tp.result.train_losses,
+                               art_dp.result.train_losses, rtol=2e-4)
