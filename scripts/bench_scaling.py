@@ -66,11 +66,11 @@ def bench_tiger_dp(mesh, batch_per_device: int = 256, steps: int = 30):
 
     for _ in range(3):
         params, opt_state, loss = step(params, opt_state, ii, am, lab)
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch: remote-PJRT block_until_ready under-reports
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, loss = step(params, opt_state, ii, am, lab)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
     return {"devices": int(np.prod(list(mesh.shape.values()))),
             "global_batch": B, "examples_per_sec": steps * B / dt,
@@ -103,11 +103,11 @@ def bench_sharded_table(mesh, rows: int, dim: int = 64, batch: int = 8192,
         return jax.grad(loss)(t)
 
     g = grad_step(table, ids)
-    jax.block_until_ready(g)
+    float(jnp.sum(g))  # value fetch (see above)
     t0 = time.perf_counter()
     for _ in range(steps):
         g = grad_step(table, ids)
-    jax.block_until_ready(g)
+    float(jnp.sum(g))
     dt = time.perf_counter() - t0
     return {"rows": rows, "dim": dim, "batch": batch,
             "lookups_per_sec": steps * batch / dt,
@@ -148,11 +148,11 @@ def bench_sasrec_large(mesh, rows: int, dim: int = 64,
     key = jax.random.PRNGKey(1)
     for _ in range(3):
         params, opt_state, loss = step(params, opt_state, x, t, key)
-    jax.block_until_ready(loss)
+    float(loss)  # value fetch (see above)
     t0 = time.perf_counter()
     for _ in range(steps):
         params, opt_state, loss = step(params, opt_state, x, t, key)
-    jax.block_until_ready(loss)
+    float(loss)
     dt = time.perf_counter() - t0
     return {"model": "sasrec_large", "rows": rows, "dim": dim,
             "global_batch": B, "examples_per_sec": steps * B / dt,
