@@ -39,6 +39,14 @@ def get_logger(name: str, log_path: Optional[str] = None,
     logger = logging.getLogger(name)
     logger.setLevel(level)
     logger.propagate = False
+    if log_path:
+        # same-named logger, new destination (e.g. two pipeline runs in one
+        # process): drop stale file handlers or lines leak into old files
+        for h in list(logger.handlers):
+            tag = getattr(h, "_genrec_tag", "")
+            if tag.startswith("file:") and tag != "file:" + log_path:
+                logger.removeHandler(h)
+                h.close()
     have = {getattr(h, "_genrec_tag", None) for h in logger.handlers}
     if "stream" not in have:
         sh = logging.StreamHandler(sys.stdout)

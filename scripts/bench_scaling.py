@@ -140,7 +140,11 @@ def bench_sasrec_large(mesh, rows: int, dim: int = 64,
     params = SASRecLarge(item_num=item_num, cfg=cfg, mesh=mesh,
                          use_sharded=False).init(jax.random.PRNGKey(0), x)
     params = shard_params(params, mesh)
-    tx = optax.adam(1e-3)
+    # adafactor at ≥10M rows: adam's mu/nu triple the table footprint
+    # (3 × rows·dim·4B) and blow HBM on one 16 GB chip; factored second
+    # moments keep the optimizer state ~rows+dim floats — the production
+    # choice for giant embedding tables.
+    tx = (optax.adafactor(1e-3) if rows >= 10_000_000 else optax.adam(1e-3))
     opt_state = tx.init(params)
     bs = NamedSharding(mesh, P("data"))
     x, t = jax.device_put(x, bs), jax.device_put(t, bs)
