@@ -63,6 +63,15 @@ def make_corpus(outdir: str, users: int, items: int, seed: int) -> None:
         data.item_id_lists, data.user_ids, codes)
     contracts.write_tiger_split(os.path.join(outdir, "train_dataset.h5"), train)
     contracts.write_tiger_split(os.path.join(outdir, "test_dataset.h5"), test)
+    # RQ-VAE input: clustered 768-dim item embeddings (row 0 = padding)
+    contracts.write_item_embs(
+        os.path.join(outdir, "course_item_embs.h5"),
+        synthetic.make_item_embs(items, num_topics=24, seed=seed + 100))
+    # TIGER-prefix side inputs: prof_lvl{1,2,3}.h5
+    for lvl in (1, 2, 3):
+        uids, embs = synthetic.make_prof_embs(users, seed=seed + 200 + lvl)
+        contracts.write_prof_lvl(
+            os.path.join(outdir, f"prof_lvl{lvl}.h5"), uids, embs)
 
 
 # ---------------------------------------------------------------------------
@@ -124,6 +133,125 @@ def run_ref_sasrec(datadir: str, workdir: str, epochs: int,
         print("PARITY_JSON:" + json.dumps(out))
     """)
     return _run_ref(code, workdir, timeout_s=3600)
+
+
+def run_ref_rqvae(datadir: str, workdir: str, epochs: int,
+                  model_seed: int) -> dict:
+    """Reference RQ-VAE (`RQ-VAE/main.py:6-36` params): train → dual-best →
+    infer with collision repair + 4th-digit dedup. Metrics: best val loss,
+    best collision rate, and post-repair code-table stats."""
+    os.makedirs(workdir, exist_ok=True)
+    params = {
+        "data_path": os.path.join(datadir, "course_item_embs.h5"),
+        "ckpt_dir": os.path.join(workdir, "ckpt"),
+        "semantic_id_file": os.path.join(workdir, "codes.npy"),
+        "in_dim": 768, "num_emb_list": [8, 8, 8], "e_dim": 32,
+        "layers": [256, 128], "dropout": 0.1, "batch_normalize": False,
+        "loss_type": "mse", "quant_loss_weight": 0.1, "beta": 0.25,
+        "kmeans_init": True, "kmeans_iters": 50, "lr": 1e-3,
+        "epochs": epochs, "warmup_epochs": 5, "batch_size": 64,
+        "num_workers": 0, "eval_step": 5,
+        "sk_epsilons": [0.01, 0.01, 0.01], "sk_iters": 50,
+        "learner": "Adamw", "lr_scheduler_type": "linear",
+        "weight_decay": 1e-4, "save_limit": 5, "device": "cpu",
+        "seed": model_seed,
+    }
+    code = textwrap.dedent(f"""
+        import json, sys, numpy as np
+        sys.path.insert(0, {REF + "/RQ-VAE"!r})
+        params = json.loads({json.dumps(params)!r})
+        import random, numpy, torch
+        import train as T
+        from vision_data import EmbDataset
+        from models.rqvae import RQVAE
+        from torch.utils.data import DataLoader
+        # T.train() returns None (prints only) and hard-codes seed 2024
+        # (RQ-VAE/train.py:254) — replicate its body to capture the fit
+        # result; model_seed therefore has no effect on this side either.
+        seed = 2024
+        random.seed(seed); numpy.random.seed(seed); torch.manual_seed(seed)
+        data = EmbDataset(params["data_path"])
+        model = RQVAE(in_dim=data.dim, num_emb_list=params["num_emb_list"],
+                      e_dim=params["e_dim"], layers=params["layers"],
+                      dropout_prob=params["dropout"],
+                      bn=params["batch_normalize"],
+                      loss_type=params["loss_type"],
+                      quant_loss_weight=params["quant_loss_weight"],
+                      beta=params["beta"], kmeans_init=params["kmeans_init"],
+                      kmeans_iters=params["kmeans_iters"],
+                      sk_epsilons=params["sk_epsilons"],
+                      sk_iters=params["sk_iters"])
+        loader = DataLoader(data, num_workers=0,
+                            batch_size=params["batch_size"], shuffle=True,
+                            pin_memory=False)
+        best_loss, best_collision = T.Trainer(params, model,
+                                              len(loader)).fit(loader)
+        from infer import infer
+        infer(params)
+        codes = np.load(params["semantic_id_file"])
+        uniq = len(np.unique(codes, axis=0))
+        out = {{"best_val_loss": float(best_loss),
+                "best_collision@rate": float(best_collision),
+                "post_unique@frac": uniq / len(codes),
+                "prefix3@distinct": int(len(np.unique(codes[:, :3], axis=0)))}}
+        print("PARITY_JSON:" + json.dumps(out))
+    """)
+    return _run_ref(code, workdir, timeout_s=3600)
+
+
+def run_ref_tiger_prefix(datadir: str, workdir: str, epochs: int,
+                         model_seed: int) -> dict:
+    """Reference prefix-conditioned TIGER (`RQVAE-T5-prefix/main.py:4-43`
+    params, CPU) on the shared corpus + synthetic prof_lvl h5s."""
+    os.makedirs(workdir, exist_ok=True)
+    params = {
+        "task_id": "parity",
+        "code_path": os.path.join(datadir, "course_rqvae_codes.npy"),
+        "train_dataset_path": os.path.join(datadir, "train_dataset.h5"),
+        "test_dataset_path": os.path.join(datadir, "test_dataset.h5"),
+        "batch_size": 256, "infer_size": 256, "num_epochs": epochs,
+        "lr": 1e-3, "device": "cpu", "num_layers": 2,
+        "num_decoder_layers": 4, "d_model": 128, "d_ff": 512,
+        "num_heads": 8, "d_kv": 16, "dropout_rate": 0.1, "vocab_size": 64,
+        "codebook_size": 8, "pad_token_id": 0, "eos_token_id": 31,
+        "feed_forward_proj": "relu", "max_len": 20,
+        "log_path": os.path.join(workdir, "tiger.log"),
+        "seed": model_seed,
+        "save_path": os.path.join(workdir, "tiger.pth"),
+        "params_path": os.path.join(workdir, "results.csv"),
+        "early_stop": 10, "topk_list": TOPK,
+        "loss_plot_path": os.path.join(workdir, "loss.png"),
+        "beam_size": 20, "bert_dim": 768,
+        "prof_h5_paths": {
+            f"prof_lvl{i}": os.path.join(datadir, f"prof_lvl{i}.h5")
+            for i in (1, 2, 3)},
+    }
+    code = textwrap.dedent(f"""
+        import json, sys, time
+        sys.path.insert(0, {REF + "/RQVAE-T5-prefix"!r})
+        params = json.loads({json.dumps(params)!r})
+        # version-compat shim: this image's transformers sizes the decoder
+        # KV cache from config.num_layers, which breaks the reference's
+        # asymmetric 2-enc/4-dec config during generate (IndexError in
+        # cache_utils). Bumping num_layers post-construction only affects
+        # cache sizing — the modules are already built.
+        import model as M
+        _orig_init = M.TIGER.__init__
+        def _patched(self, *a, **k):
+            _orig_init(self, *a, **k)
+            c = self.model.config
+            c.num_layers = max(c.num_layers, c.num_decoder_layers)
+        M.TIGER.__init__ = _patched
+        from train import train
+        from evaluate import infer
+        train(params)
+        t0 = time.time()
+        recalls, ndcgs = infer(params)
+        out = {{m: float(v) for m, v in {{**recalls, **ndcgs}}.items()}}
+        out["eval_seconds"] = time.time() - t0
+        print("PARITY_JSON:" + json.dumps(out))
+    """)
+    return _run_ref(code, workdir, timeout_s=14400)
 
 
 def run_ref_tiger(datadir: str, workdir: str, epochs: int,
@@ -193,6 +321,63 @@ def run_tpu_sasrec(datadir: str, workdir: str, epochs: int,
     return out
 
 
+def run_tpu_rqvae(datadir: str, workdir: str, epochs: int,
+                  model_seed: int) -> dict:
+    import numpy as np
+
+    from genrec_tpu import configs
+    from genrec_tpu.pipelines import rqvae_pipeline
+    cfg = configs.RQVAEConfig(
+        data_path=os.path.join(datadir, "course_item_embs.h5"),
+        ckpt_dir=os.path.join(workdir, "ckpt"),
+        semantic_id_file=os.path.join(workdir, "codes.npy"),
+        trainer=dataclasses.replace(
+            configs.RQVAEConfig().trainer, epochs=epochs, seed=model_seed,
+            ckpt_dir=os.path.join(workdir, "ckpt"),
+            log_path=os.path.join(workdir, "rqvae.log")))
+    t0 = time.time()
+    art = rqvae_pipeline.train(cfg)
+    codes = rqvae_pipeline.infer(cfg, art)
+    uniq = len(np.unique(codes, axis=0))
+    return {"best_val_loss": float(art.result.best_val_loss),
+            "best_collision@rate": float(art.final_collision_rate),
+            "post_unique@frac": uniq / len(codes),
+            "prefix3@distinct": int(len(np.unique(codes[:, :3], axis=0))),
+            "wall_seconds": time.time() - t0}
+
+
+def run_tpu_tiger_prefix(datadir: str, workdir: str, epochs: int,
+                         model_seed: int) -> dict:
+    from genrec_tpu import configs
+    from genrec_tpu.data import datasets
+    from genrec_tpu.data.contracts import read_tiger_split
+    from genrec_tpu.pipelines import tiger_prefix_pipeline
+    prof_paths = tuple(os.path.join(datadir, f"prof_lvl{i}.h5")
+                       for i in (1, 2, 3))
+    cfg = configs.TIGERPrefixConfig(
+        code_path=os.path.join(datadir, "course_rqvae_codes.npy"),
+        train_dataset_path=os.path.join(datadir, "train_dataset.h5"),
+        test_dataset_path=os.path.join(datadir, "test_dataset.h5"),
+        prof_lvl_paths=prof_paths,
+        arch=dataclasses.replace(configs.TIGERPrefixConfig().arch, d_ff=512),
+        constrained_decoding="none",  # parity: reference decodes unconstrained
+        beam_size=20,
+        trainer=dataclasses.replace(
+            configs.TIGERPrefixConfig().trainer, epochs=epochs,
+            seed=model_seed, early_stop_patience=10,
+            ckpt_dir=os.path.join(workdir, "ckpt"),
+            log_path=os.path.join(workdir, "tiger.log")))
+    t0 = time.time()
+    art = tiger_prefix_pipeline.train(cfg)
+    t1 = time.time()
+    out = {k: float(v) for k, v in
+           tiger_prefix_pipeline.evaluate(cfg, art).items()}
+    out["eval_seconds"] = time.time() - t1
+    out["wall_seconds"] = time.time() - t0
+    out["train_examples_per_sec"] = art.result.examples_per_sec
+    return out
+
+
 def run_tpu_tiger(datadir: str, workdir: str, epochs: int,
                   model_seed: int) -> dict:
     from genrec_tpu import configs
@@ -254,7 +439,10 @@ def main() -> None:
                                                   "parity_headtohead.json"))
     ap.add_argument("--skip", nargs="*", default=[],
                     choices=["ref-sasrec", "ref-tiger", "tpu-sasrec",
-                             "tpu-tiger"])
+                             "tpu-tiger", "ref-rqvae", "tpu-rqvae",
+                             "ref-tiger-prefix", "tpu-tiger-prefix"])
+    ap.add_argument("--rqvae-epochs", type=int, default=100)
+    ap.add_argument("--prefix-epochs", type=int, default=25)
     ap.add_argument("--model-seeds", type=int, nargs="+", default=[42],
                     help="model/init seeds per corpus; >1 quantifies the "
                     "early-stop protocol's run-to-run variance")
@@ -262,7 +450,9 @@ def main() -> None:
 
     results = {"config": vars(args)}
     runs: dict = {k: [] for k in
-                  ("ref_sasrec", "tpu_sasrec", "ref_tiger", "tpu_tiger")}
+                  ("ref_sasrec", "tpu_sasrec", "ref_tiger", "tpu_tiger",
+                   "ref_rqvae", "tpu_rqvae",
+                   "ref_tiger_prefix", "tpu_tiger_prefix")}
 
     for seed in args.seeds:
         ddir = os.path.join(args.workdir, f"data_s{seed}")
@@ -274,6 +464,12 @@ def main() -> None:
             ("tpu_sasrec", "tpu-sasrec", run_tpu_sasrec, args.sasrec_epochs),
             ("ref_tiger", "ref-tiger", run_ref_tiger, args.tiger_epochs),
             ("tpu_tiger", "tpu-tiger", run_tpu_tiger, args.tiger_epochs),
+            ("ref_rqvae", "ref-rqvae", run_ref_rqvae, args.rqvae_epochs),
+            ("tpu_rqvae", "tpu-rqvae", run_tpu_rqvae, args.rqvae_epochs),
+            ("ref_tiger_prefix", "ref-tiger-prefix", run_ref_tiger_prefix,
+             args.prefix_epochs),
+            ("tpu_tiger_prefix", "tpu-tiger-prefix", run_tpu_tiger_prefix,
+             args.prefix_epochs),
         ]
         for key, skip_key, fn, epochs in jobs:
             if skip_key in args.skip:
