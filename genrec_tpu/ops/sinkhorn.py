@@ -28,22 +28,32 @@ def center_distance(distances: jnp.ndarray) -> jnp.ndarray:
 def sinkhorn(distances: jnp.ndarray, epsilon: float, iterations: int) -> jnp.ndarray:
     """Balanced assignment matrix Q from a (B, K) distance matrix.
 
-    Follows `RQ-VAE/models/layers.py:85-108`: exp(-d/eps), global
+    Same math as `RQ-VAE/models/layers.py:85-108` (exp(-d/eps), global
     normalization, then alternating row (per-sample, /B) and column
-    (per-prototype, /K) renormalizations; returns Q scaled by B so rows are
-    distributions.
+    (per-prototype, /K) renormalizations; returned scaled by B so rows are
+    distributions) — but computed in LOG domain. The reference casts to
+    float64 first (`vq.py:80`) because exp(-d/eps) spans e^±100 at its
+    eps=0.01; in float32 that overflows to inf/underflows to 0 and the
+    transport degenerates (near-identical rows then never split, which
+    silently disables the collision-repair loop). logsumexp keeps the full
+    ±100 range exactly in f32 — the TPU-native equivalent of its f64 cast.
     """
     B, K = distances.shape
-    Q = jnp.exp(-distances / epsilon)
-    Q = Q / jnp.maximum(jnp.sum(Q), _EPS)
+    logq = -distances / epsilon
+    logq = logq - jax.scipy.special.logsumexp(logq)  # global normalization
 
-    def body(_, Q):
-        Q = Q / jnp.maximum(jnp.sum(Q, axis=1, keepdims=True), _EPS) / B
-        Q = Q / jnp.maximum(jnp.sum(Q, axis=0, keepdims=True), _EPS) / K
-        return Q
+    log_b = jnp.log(jnp.asarray(B, distances.dtype))
+    log_k = jnp.log(jnp.asarray(K, distances.dtype))
 
-    Q = jax.lax.fori_loop(0, iterations, body, Q)
-    return Q * B
+    def body(_, logq):
+        logq = logq - jax.scipy.special.logsumexp(logq, axis=1,
+                                                  keepdims=True) - log_b
+        logq = logq - jax.scipy.special.logsumexp(logq, axis=0,
+                                                  keepdims=True) - log_k
+        return logq
+
+    logq = jax.lax.fori_loop(0, iterations, body, logq)
+    return jnp.exp(logq + log_b)
 
 
 def _pairwise_sq_dists(x: jnp.ndarray, centers: jnp.ndarray) -> jnp.ndarray:

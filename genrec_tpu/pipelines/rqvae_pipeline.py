@@ -55,6 +55,23 @@ def _indices_fn(model: RQVAE, use_sk: bool):
     return _INDICES_FN_CACHE[key]
 
 
+def _grouped_sk_indices_fn(model: RQVAE):
+    """vmapped Sinkhorn get_indices over a (G, s, D) stack of same-size
+    collision groups: the balanced transport runs WITHIN each group, which
+    is what actually forces tied items apart (the reference re-assigns one
+    group per call, `RQ-VAE/infer.py:120-124`; a single global batch lets
+    Sinkhorn satisfy its column constraint with other groups' items and
+    barely splits anything). Cached per (config, group size) — one compile
+    per distinct size."""
+    key = (model.cfg, "grouped_sk")
+    if key not in _INDICES_FN_CACHE:
+        _INDICES_FN_CACHE[key] = jax.jit(jax.vmap(
+            lambda p, x: model.apply(p, x, use_sk=True,
+                                     method=RQVAE.get_indices),
+            in_axes=(None, 0)))
+    return _INDICES_FN_CACHE[key]
+
+
 def _batched_indices(model: RQVAE, params, embs: np.ndarray, batch: int = 1024,
                      use_sk: bool = False) -> np.ndarray:
     fn = _indices_fn(model, use_sk)
@@ -153,16 +170,21 @@ def infer(cfg: RQVAEConfig, artifacts: RQVAEArtifacts,
                                    return_counts=True)
         return [np.where(inv == g)[0] for g in np.where(counts > 1)[0]]
 
+    grouped_fn = _grouped_sk_indices_fn(repair_model)
     for it in range(cfg.collision_repair_iters):
         groups = collision_groups(codes)
         if not groups:
             break
         logger.info(f"Collision-repair iter {it}: {len(groups)} groups")
-        # one batched device call over all colliding items; Sinkhorn then
-        # balances within each group's shared distance structure
-        all_idx = np.concatenate(groups)
-        new = _batched_indices(repair_model, params, embs[all_idx], use_sk=True)
-        codes[all_idx] = new
+        # per-group Sinkhorn (reference semantics), bucketed by group size
+        # and vmapped so each distinct size is ONE device call
+        by_size: Dict[int, list] = {}
+        for g in groups:
+            by_size.setdefault(len(g), []).append(g)
+        for size, gs in sorted(by_size.items()):
+            idx = np.stack(gs)                                   # (G, s)
+            new = np.asarray(grouped_fn(params, jnp.asarray(embs[idx])))
+            codes[idx.reshape(-1)] = new.reshape(-1, new.shape[-1])
 
     # 4th-digit dedup (infer.py:150-171)
     full = np.concatenate([codes.astype(np.int64),

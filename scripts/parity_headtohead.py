@@ -72,6 +72,17 @@ def make_corpus(outdir: str, users: int, items: int, seed: int) -> None:
         uids, embs = synthetic.make_prof_embs(users, seed=seed + 200 + lvl)
         contracts.write_prof_lvl(
             os.path.join(outdir, f"prof_lvl{lvl}.h5"), uids, embs)
+    # dense-T5 side inputs: course_info / id map / user profile embeddings
+    item_ids = [f"C_{i}" for i in range(1, items + 1)]
+    contracts.write_course_info(
+        os.path.join(outdir, "course_info.h5"), item_ids,
+        [f"course {i}" for i in range(1, items + 1)],
+        [f"about course {i}" for i in range(1, items + 1)])
+    contracts.write_id_map(os.path.join(outdir, "course_id_map.h5"),
+                           item_ids, list(range(1, items + 1)))
+    contracts.write_user_embs(
+        os.path.join(outdir, "user_profile_embs.h5"),
+        synthetic.make_user_embs(users, seed=seed + 300))
 
 
 # ---------------------------------------------------------------------------
@@ -254,6 +265,56 @@ def run_ref_tiger_prefix(datadir: str, workdir: str, epochs: int,
     return _run_ref(code, workdir, timeout_s=14400)
 
 
+def run_ref_dense_t5(datadir: str, workdir: str, epochs: int,
+                     model_seed: int) -> dict:
+    """Reference dense-retrieval T5 (`T5/main.py:5-38` params, CPU). Its
+    `infer()` crashes on a 4-from-3 unpack (`T5/evaluate.py:32`); the
+    faithful protocol is train → load best ckpt → the in-file
+    `evaluate()` (`T5/train.py:69-97`), replicated here."""
+    os.makedirs(workdir, exist_ok=True)
+    params = {
+        "task_id": "parity",
+        "rec_path": os.path.join(datadir, "user_item_interact.h5"),
+        "course_path": os.path.join(datadir, "course_info.h5"),
+        "course_id_map_path": os.path.join(datadir, "course_id_map.h5"),
+        "item_emb_h5_path": os.path.join(datadir, "course_item_embs.h5"),
+        "user_emb_h5_path": os.path.join(datadir, "user_profile_embs.h5"),
+        "batch_size": 256, "infer_size": 256, "num_epochs": epochs,
+        "lr": 1e-3, "device": "cpu", "num_layers": 2, "d_model": 512,
+        "d_ff": 256, "num_heads": 4, "d_kv": 16, "dropout_rate": 0.3,
+        "feed_forward_proj": "relu", "input_emb_dim": 768,
+        "target_emb_dim": 768, "temperature": 0.07,
+        "log_path": os.path.join(workdir, "tiger.log"),
+        "seed": model_seed,
+        "save_path": os.path.join(workdir, "t5.pth"),
+        "params_path": os.path.join(workdir, "results.csv"),
+        "early_stop": 10, "topk_list": TOPK,
+        "loss_plot_path": os.path.join(workdir, "loss.png"),
+    }
+    code = textwrap.dedent(f"""
+        import json, sys, time
+        import numpy as np, torch
+        sys.path.insert(0, {REF + "/T5"!r})
+        params = json.loads({json.dumps(params)!r})
+        from train import train, build_splits_and_loaders, evaluate
+        from model import TIGER
+        train(params)
+        train_ds, _, test_loader = build_splits_and_loaders(params)
+        model = TIGER(params)
+        model.load_state_dict(torch.load(params["save_path"],
+                                         map_location="cpu"))
+        model.to("cpu"); model.eval()
+        t0 = time.time()
+        recalls, ndcgs = evaluate(model, test_loader,
+                                  np.asarray(train_ds.item_embs), params,
+                                  torch.device("cpu"))
+        out = {{m: float(v) for m, v in {{**recalls, **ndcgs}}.items()}}
+        out["eval_seconds"] = time.time() - t0
+        print("PARITY_JSON:" + json.dumps(out))
+    """)
+    return _run_ref(code, workdir, timeout_s=7200)
+
+
 def run_ref_tiger(datadir: str, workdir: str, epochs: int,
                   model_seed: int) -> dict:
     os.makedirs(workdir, exist_ok=True)
@@ -378,6 +439,29 @@ def run_tpu_tiger_prefix(datadir: str, workdir: str, epochs: int,
     return out
 
 
+def run_tpu_dense_t5(datadir: str, workdir: str, epochs: int,
+                     model_seed: int) -> dict:
+    from genrec_tpu import configs
+    from genrec_tpu.pipelines import dense_t5_pipeline
+    cfg = configs.DenseT5Config(
+        rec_path=os.path.join(datadir, "user_item_interact.h5"),
+        item_emb_h5_path=os.path.join(datadir, "course_item_embs.h5"),
+        user_emb_h5_path=os.path.join(datadir, "user_profile_embs.h5"),
+        trainer=dataclasses.replace(
+            configs.DenseT5Config().trainer, epochs=epochs, seed=model_seed,
+            early_stop_patience=10, ckpt_dir=os.path.join(workdir, "ckpt"),
+            log_path=os.path.join(workdir, "t5.log")))
+    t0 = time.time()
+    art = dense_t5_pipeline.train(cfg)
+    t1 = time.time()
+    out = {k: float(v) for k, v in
+           dense_t5_pipeline.evaluate(cfg, art).items()}
+    out["eval_seconds"] = time.time() - t1
+    out["wall_seconds"] = time.time() - t0
+    out["train_examples_per_sec"] = art.result.examples_per_sec
+    return out
+
+
 def run_tpu_tiger(datadir: str, workdir: str, epochs: int,
                   model_seed: int) -> dict:
     from genrec_tpu import configs
@@ -440,9 +524,11 @@ def main() -> None:
     ap.add_argument("--skip", nargs="*", default=[],
                     choices=["ref-sasrec", "ref-tiger", "tpu-sasrec",
                              "tpu-tiger", "ref-rqvae", "tpu-rqvae",
-                             "ref-tiger-prefix", "tpu-tiger-prefix"])
+                             "ref-tiger-prefix", "tpu-tiger-prefix",
+                             "ref-dense-t5", "tpu-dense-t5"])
     ap.add_argument("--rqvae-epochs", type=int, default=100)
     ap.add_argument("--prefix-epochs", type=int, default=25)
+    ap.add_argument("--dense-t5-epochs", type=int, default=30)
     ap.add_argument("--model-seeds", type=int, nargs="+", default=[42],
                     help="model/init seeds per corpus; >1 quantifies the "
                     "early-stop protocol's run-to-run variance")
@@ -452,7 +538,8 @@ def main() -> None:
     runs: dict = {k: [] for k in
                   ("ref_sasrec", "tpu_sasrec", "ref_tiger", "tpu_tiger",
                    "ref_rqvae", "tpu_rqvae",
-                   "ref_tiger_prefix", "tpu_tiger_prefix")}
+                   "ref_tiger_prefix", "tpu_tiger_prefix",
+                   "ref_dense_t5", "tpu_dense_t5")}
 
     for seed in args.seeds:
         ddir = os.path.join(args.workdir, f"data_s{seed}")
@@ -470,6 +557,10 @@ def main() -> None:
              args.prefix_epochs),
             ("tpu_tiger_prefix", "tpu-tiger-prefix", run_tpu_tiger_prefix,
              args.prefix_epochs),
+            ("ref_dense_t5", "ref-dense-t5", run_ref_dense_t5,
+             args.dense_t5_epochs),
+            ("tpu_dense_t5", "tpu-dense-t5", run_tpu_dense_t5,
+             args.dense_t5_epochs),
         ]
         for key, skip_key, fn, epochs in jobs:
             if skip_key in args.skip:
