@@ -38,6 +38,14 @@ def _sq_distances(latent: jnp.ndarray, codebook: jnp.ndarray) -> jnp.ndarray:
             - 2.0 * jnp.dot(latent, codebook.T, preferred_element_type=jnp.float32))
 
 
+def _masked_mean(per_row: jnp.ndarray, row_mask) -> jnp.ndarray:
+    """Mean of (B,) per-row losses; ``row_mask=None`` is a plain mean."""
+    if row_mask is None:
+        return jnp.mean(per_row)
+    w = row_mask.astype(per_row.dtype)
+    return jnp.sum(per_row * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
 class RQVAE(nn.Module):
     cfg: RQVAEConfig
 
@@ -58,7 +66,7 @@ class RQVAE(nn.Module):
         n_e = self.cfg.num_emb_list[i]
         return self.codebooks[i] - 1.0 / n_e  # shift to (-1/n_e, 1/n_e)
 
-    def _quantize_level(self, residual, level, use_sk: bool):
+    def _quantize_level(self, residual, level, use_sk: bool, row_mask):
         cb = self._codebook(level)
         d = _sq_distances(residual, cb)
         eps = self.cfg.sk_epsilons[level]
@@ -68,29 +76,33 @@ class RQVAE(nn.Module):
         else:
             indices = jnp.argmin(d, axis=-1)
         x_q = jnp.take(cb, indices, axis=0)
-        codebook_loss = jnp.mean((x_q - jax.lax.stop_gradient(residual)) ** 2)
-        commitment_loss = jnp.mean((jax.lax.stop_gradient(x_q) - residual) ** 2)
-        loss = codebook_loss + self.cfg.beta * commitment_loss
+        codebook_sq = jnp.mean((x_q - jax.lax.stop_gradient(residual)) ** 2,
+                               axis=-1)
+        commit_sq = jnp.mean((jax.lax.stop_gradient(x_q) - residual) ** 2,
+                             axis=-1)
+        loss = _masked_mean(codebook_sq + self.cfg.beta * commit_sq, row_mask)
         # straight-through estimator (vq.py:95)
         x_q = residual + jax.lax.stop_gradient(x_q - residual)
         return x_q, loss, indices
 
-    def rq(self, z, use_sk: bool = True):
+    def rq(self, z, use_sk: bool = True, row_mask=None):
         """Residual quantization chain (`RQ-VAE/models/rq.py:43-55`)."""
         x_q = jnp.zeros_like(z)
         residual = z
         losses, indices = [], []
         for level in range(len(self.cfg.num_emb_list)):
-            x_res, loss, idx = self._quantize_level(residual, level, use_sk)
+            x_res, loss, idx = self._quantize_level(residual, level, use_sk,
+                                                    row_mask)
             residual = residual - x_res
             x_q = x_q + x_res
             losses.append(loss)
             indices.append(idx)
         return x_q, jnp.mean(jnp.stack(losses)), jnp.stack(indices, axis=-1)
 
-    def __call__(self, x, *, use_sk: bool = True, deterministic: bool = True):
+    def __call__(self, x, *, use_sk: bool = True, deterministic: bool = True,
+                 row_mask=None):
         z = self.encoder(x, deterministic=deterministic)
-        x_q, rq_loss, indices = self.rq(z, use_sk=use_sk)
+        x_q, rq_loss, indices = self.rq(z, use_sk=use_sk, row_mask=row_mask)
         out = self.decoder(x_q, deterministic=deterministic)
         return out, rq_loss, indices
 
@@ -103,12 +115,18 @@ class RQVAE(nn.Module):
     def encode(self, x):
         return self.encoder(x, deterministic=True)
 
-    def compute_loss(self, out, rq_loss, x) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """total = recon + quant_loss_weight·rq (`RQ-VAE/models/rqvae.py:73-83`)."""
+    def compute_loss(self, out, rq_loss, x,
+                     row_mask=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """total = recon + quant_loss_weight·rq (`RQ-VAE/models/rqvae.py:73-83`).
+
+        ``row_mask`` (B,) excludes device-resident pad rows (the scan-epoch
+        path pads the final partial batch with duplicated row 0; an unmasked
+        batch mean would let those rows pollute gradients every epoch).
+        """
         if self.cfg.loss_type == "mse":
-            recon = jnp.mean((out - x) ** 2)
+            recon = _masked_mean(jnp.mean((out - x) ** 2, axis=-1), row_mask)
         elif self.cfg.loss_type == "l1":
-            recon = jnp.mean(jnp.abs(out - x))
+            recon = _masked_mean(jnp.mean(jnp.abs(out - x), axis=-1), row_mask)
         else:
             raise ValueError(self.cfg.loss_type)
         return recon + self.cfg.quant_loss_weight * rq_loss, recon

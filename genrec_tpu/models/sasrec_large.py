@@ -40,7 +40,7 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from genrec_tpu.configs import SASRecLargeConfig
-from genrec_tpu.models.sasrec import SASRecBlock
+from genrec_tpu.models.sasrec import SASRecBlock, _bce
 from genrec_tpu.ops.embedding import sharded_embedding_lookup
 from genrec_tpu.ops.negative_sampling import sample_negatives
 
@@ -157,15 +157,18 @@ def train_loss_sampled(model: SASRecLarge, params, inputs, targets, rng,
     Returns (normalized loss, valid-timestep count).
     """
     drop_rng, neg_rng = jax.random.split(rng)
-    neg = sample_negatives(neg_rng, inputs, item_num, cfg.num_neg_samples)
+    # exclude the full rated set — history AND the shifted targets (the last
+    # positive is absent from `inputs`), matching the reference's
+    # setdiff1d-vs-rated semantics (`SASRec/train.py:15-30`)
+    rated = jnp.concatenate([inputs, targets], axis=1)
+    neg = sample_negatives(neg_rng, rated, item_num, cfg.num_neg_samples)
     pos_scores, neg_scores = model.apply(
         params, inputs, targets, neg, deterministic=False,
         method=SASRecLarge.sampled_scores, rngs={"dropout": drop_rng})
     mask = (targets != 0).astype(jnp.float32)
     eps = cfg.loss_eps
-    pos_loss = -jnp.log(jax.nn.sigmoid(pos_scores) + eps) * mask
-    neg_loss = jnp.sum(-jnp.log(1 - jax.nn.sigmoid(neg_scores) + eps),
-                       axis=-1) * mask
+    pos_loss = _bce(pos_scores, True, eps) * mask
+    neg_loss = jnp.sum(_bce(neg_scores, False, eps), axis=-1) * mask
     valid = jnp.sum(mask)
     return jnp.sum(pos_loss + neg_loss) / jnp.maximum(valid, 1.0), valid
 

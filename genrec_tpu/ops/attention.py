@@ -1,14 +1,24 @@
-"""Attention ops: a blockwise Pallas flash-attention TPU kernel with an XLA
-fallback, plus the plain multi-head wrapper used by every model tower.
+"""Attention ops: a blockwise Pallas flash-attention TPU kernel (forward AND
+backward) with an XLA fallback, plus the plain multi-head wrapper used by
+every model tower.
 
 Design notes (TPU-first):
 - The kernel is *blockwise* over the query/key sequence (online softmax),
   so context-parallel extensions (ring attention) can slot in later without
   changing the math — SURVEY.md §5 "long-context" note.
+- The backward pass is the standard recompute-based flash backward: the
+  forward saves only (out, logsumexp); dq / (dk, dv) are produced by two
+  Pallas kernels that re-materialize the (block_q, block_k) score tiles —
+  O(L·D) residual memory instead of XLA's O(L²) saved probability matrix.
+- With an additive ``bias`` the backward falls back to recomputing through
+  :func:`_xla_attention` under ``jax.vjp`` — the only biased caller is the
+  T5 relative-position path (`genrec_tpu/models/t5.py:149`), which at the
+  80-token parity scale never crosses the Pallas gate anyway; the fallback
+  keeps gradients correct (incl. the learned bias) if it ever does.
 - At the reference parity scale (seq ≤ 80, d ≤ 128) XLA's fused attention is
   already near speed-of-light, so the wrapper picks the kernel only when
   shapes are large enough to amortize it; both paths are numerically
-  equivalent (tested against each other).
+  equivalent (tested against each other, values and grads).
 - Replaces `torch.nn.MultiheadAttention` usage of the reference
   (`SASRec/model.py:28-30`, `RQVAE-T5-prefix/model.py:21-23`).
 """
@@ -45,12 +55,13 @@ def _xla_attention(q, k, v, bias, causal):
 
 
 # ---------------------------------------------------------------------------
-# Pallas flash attention
+# Pallas flash attention — forward
 # ---------------------------------------------------------------------------
 
-def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, causal: bool,
-                  block_k: int, sm_scale: float):
-    """One (batch*head, q-block) program: online-softmax over k blocks."""
+def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                  causal: bool, block_k: int, sm_scale: float):
+    """One (batch*head, q-block) program: online-softmax over k blocks.
+    Emits the output block and the per-row logsumexp (backward residual)."""
     q = q_ref[0].astype(jnp.float32) * sm_scale          # (block_q, d)
     block_q = q.shape[0]
     lk = k_ref.shape[1]
@@ -89,36 +100,19 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, causal: bool,
         last_kb = jnp.minimum(num_kb, (qi + 1) * block_q // block_k + 1)
     else:
         last_kb = num_kb
-    acc, _, l = jax.lax.fori_loop(0, last_kb, body, init)
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    acc, m, l = jax.lax.fori_loop(0, last_kb, body, init)
+    l = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)                           # (block_q, 1)
 
 
-def _auto_blocks(lq: int, lk: int, d: int) -> tuple[int, int]:
-    """Measured on TPU v5e (scripts/bench_attention.py sweep): block_q=256
-    (512 when d≥128 — deeper rows amortize the softmax VPU work),
-    block_k=512 wins across [256, 2048]² — 1.1–2.3× over both the naive
-    (128,128) blocking and XLA's fused attention. Fall back to smaller
-    powers of two when the sequence doesn't divide."""
-    q_cands = (512, 256, 128) if d >= 128 else (256, 128)
-    bq = next((b for b in q_cands if lq % b == 0), lq)
-    bk = next((b for b in (512, 256, 128) if lk % b == 0), lk)
-    return min(bq, lq), min(bk, lk)
-
-
-def flash_attention(q, k, v, bias=None, *, causal: bool = False,
-                    block_q: Optional[int] = None,
-                    block_k: Optional[int] = None,
-                    interpret: bool = False):
-    """Blockwise flash attention. q,k,v: (B, H, L, D), D and L multiples of
-    the block sizes (caller pads). bias: optional (B, H, Lq, Lk) additive.
-    Block sizes default to the measured-optimal sweep values (_auto_blocks).
-    """
+def _flash_forward(q, k, v, bias, causal, block_q, block_k, interpret):
+    """pallas_call wrapper; returns (out (B,H,Lq,D), lse (B*H, Lq, 1) f32).
+    The trailing singleton keeps the Mosaic block-shape rule satisfied
+    (last two block dims must be (8k, 128k) or equal to the array's) while
+    storing one f32 per query row."""
     b, h, lq, d = q.shape
     lk = k.shape[2]
-    abq, abk = _auto_blocks(lq, lk, d)
-    block_q = abq if block_q is None else block_q
-    block_k = abk if block_k is None else block_k
-    assert lq % block_q == 0 and lk % block_k == 0, (lq, lk)
     sm_scale = 1.0 / (d ** 0.5)
     bh = b * h
     qr = q.reshape(bh, lq, d)
@@ -139,20 +133,257 @@ def flash_attention(q, k, v, bias=None, *, causal: bool = False,
         kernel = functools.partial(_flash_kernel, causal=causal,
                                    block_k=block_k, sm_scale=sm_scale)
     else:
-        def kernel(q_ref, k_ref, v_ref, o_ref):
-            _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, causal=causal,
-                          block_k=block_k, sm_scale=sm_scale)
+        def kernel(q_ref, k_ref, v_ref, o_ref, lse_ref):
+            _flash_kernel(q_ref, k_ref, v_ref, None, o_ref, lse_ref,
+                          causal=causal, block_k=block_k, sm_scale=sm_scale)
 
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
         grid=(bh, lq // block_q),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, lq, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(*args)
-    return out.reshape(b, h, lq, d)
+    return out.reshape(b, h, lq, d), lse
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention — backward (recompute-based)
+# ---------------------------------------------------------------------------
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, *, causal: bool, block_k: int,
+                         sm_scale: float):
+    """One (batch*head, q-block) program: dq = Σ_kb ds @ k · sm_scale,
+    ds = p ⊙ (do @ vᵀ − delta), p re-materialized from (q, k, lse)."""
+    q = q_ref[0].astype(jnp.float32)                     # (block_q, d)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0].astype(jnp.float32)                 # (block_q, 1)
+    delta = delta_ref[0].astype(jnp.float32)
+    block_q = q.shape[0]
+    lk = k_ref.shape[1]
+    num_kb = lk // block_k
+    qi = pl.program_id(1)
+
+    def body(kb, acc):
+        k = k_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        v = v_ref[0, pl.ds(kb * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col + kb * block_k > row + qi * block_q, _NEG_INF, s)
+        p = jnp.exp(s - lse)                              # masked → exactly 0
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    d = q_ref.shape[-1]
+    if causal:
+        last_kb = jnp.minimum(num_kb, (qi + 1) * block_q // block_k + 1)
+    else:
+        last_kb = num_kb
+    acc = jax.lax.fori_loop(0, last_kb, body,
+                            jnp.zeros((block_q, d), jnp.float32))
+    dq_ref[0] = (acc * sm_scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, causal: bool, block_q: int,
+                          sm_scale: float):
+    """One (batch*head, k-block) program: dv = Σ_qb pᵀ @ do,
+    dk = Σ_qb dsᵀ @ q · sm_scale."""
+    k = k_ref[0].astype(jnp.float32)                     # (block_k, d)
+    v = v_ref[0].astype(jnp.float32)
+    block_k = k.shape[0]
+    lq = q_ref.shape[1]
+    num_qb = lq // block_q
+    ki = pl.program_id(1)
+
+    def body(qb, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        do = do_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        delta = delta_ref[0, pl.ds(qb * block_q, block_q), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col + ki * block_k > row + qb * block_q, _NEG_INF, s)
+        p = jnp.exp(s - lse)                              # (block_q, block_k)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dk_acc, dv_acc
+
+    d = q_ref.shape[-1]
+    # causal: q blocks strictly above the diagonal contribute nothing
+    start_qb = (ki * block_k) // block_q if causal else 0
+    dk, dv = jax.lax.fori_loop(
+        start_qb, num_qb, body,
+        (jnp.zeros((block_k, d), jnp.float32),
+         jnp.zeros((block_k, d), jnp.float32)))
+    dk_ref[0] = (dk * sm_scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, out, lse, do, causal, block_q, block_k,
+                    interpret):
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    sm_scale = 1.0 / (d ** 0.5)
+    bh = b * h
+    qr = q.reshape(bh, lq, d)
+    kr = k.reshape(bh, lk, d)
+    vr = v.reshape(bh, lk, d)
+    dor = do.reshape(bh, lq, d)
+    # delta_i = Σ_d do_i · o_i — the softmax-jacobian row term; cheap in XLA
+    delta = jnp.sum(dor.astype(jnp.float32)
+                    * out.reshape(bh, lq, d).astype(jnp.float32),
+                    axis=-1, keepdims=True)              # (bh, lq, 1)
+
+    qb_spec = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    q_full = pl.BlockSpec((1, lq, d), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    k_full = pl.BlockSpec((1, lk, d), lambda i, j: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    kb_spec = pl.BlockSpec((1, block_k, d), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    row_blk = pl.BlockSpec((1, block_q, 1), lambda i, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    row_full = pl.BlockSpec((1, lq, 1), lambda i, j: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, causal=causal,
+                          block_k=block_k, sm_scale=sm_scale),
+        grid=(bh, lq // block_q),
+        in_specs=[qb_spec, k_full, k_full, qb_spec, row_blk, row_blk],
+        out_specs=qb_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), q.dtype),
+        interpret=interpret,
+    )(qr, kr, vr, dor, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, causal=causal,
+                          block_q=block_q, sm_scale=sm_scale),
+        grid=(bh, lk // block_k),
+        in_specs=[q_full, kb_spec, kb_spec, q_full, row_full, row_full],
+        out_specs=[kb_spec, kb_spec],
+        out_shape=[jax.ShapeDtypeStruct((bh, lk, d), k.dtype),
+                   jax.ShapeDtypeStruct((bh, lk, d), v.dtype)],
+        interpret=interpret,
+    )(qr, kr, vr, dor, lse, delta)
+
+    return (dq.reshape(b, h, lq, d), dk.reshape(b, h, lk, d),
+            dv.reshape(b, h, lk, d))
+
+
+# ---------------------------------------------------------------------------
+# differentiable entry points
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _flash_nobias(q, k, v, causal, block_q, block_k, interpret):
+    out, _ = _flash_forward(q, k, v, None, causal, block_q, block_k, interpret)
+    return out
+
+
+def _flash_nobias_fwd(q, k, v, causal, block_q, block_k, interpret):
+    out, lse = _flash_forward(q, k, v, None, causal, block_q, block_k,
+                              interpret)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_nobias_bwd(causal, block_q, block_k, interpret, res, do):
+    q, k, v, out, lse = res
+    return _flash_backward(q, k, v, out, lse, do, causal, block_q, block_k,
+                           interpret)
+
+
+_flash_nobias.defvjp(_flash_nobias_fwd, _flash_nobias_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_bias(q, k, v, bias, causal, block_q, block_k, interpret):
+    out, _ = _flash_forward(q, k, v, bias, causal, block_q, block_k, interpret)
+    return out
+
+
+def _flash_bias_fwd(q, k, v, bias, causal, block_q, block_k, interpret):
+    out, _ = _flash_forward(q, k, v, bias, causal, block_q, block_k, interpret)
+    return out, (q, k, v, bias)
+
+
+def _flash_bias_bwd(causal, block_q, block_k, interpret, res, do):
+    # biased backward: recompute through the XLA path (correct for all four
+    # grads incl. the learned bias). The only biased caller — T5's
+    # relative-position attention — lives at 80-token parity scale where
+    # the Pallas gate never fires, so this path is a correctness net, not a
+    # hot path; a blockwise dbias kernel can replace it if that changes.
+    q, k, v, bias = res
+    _, vjp = jax.vjp(lambda q_, k_, v_, b_: _xla_attention(q_, k_, v_, b_,
+                                                           causal),
+                     q, k, v, bias)
+    return vjp(do)
+
+
+_flash_bias.defvjp(_flash_bias_fwd, _flash_bias_bwd)
+
+
+def _auto_blocks(lq: int, lk: int, d: int) -> tuple[int, int]:
+    """Measured on TPU v5e (scripts/bench_attention.py sweep): block_q=256
+    (512 when d≥128 — deeper rows amortize the softmax VPU work),
+    block_k=512 wins across [256, 2048]² — 1.1–2.3× over both the naive
+    (128,128) blocking and XLA's fused attention. The divisibility
+    precondition (L % 128 == 0, asserted by flash_attention) guarantees a
+    128-sized fallback always exists — block never silently degrades to L."""
+    q_cands = (512, 256, 128) if d >= 128 else (256, 128)
+    bq = next(b for b in q_cands if lq % b == 0)
+    bk = next(b for b in (512, 256, 128) if lk % b == 0)
+    return min(bq, lq), min(bk, lk)
+
+
+def flash_attention(q, k, v, bias=None, *, causal: bool = False,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
+                    interpret: bool = False):
+    """Blockwise flash attention, differentiable. q,k,v: (B, H, L, D) with
+    Lq, Lk multiples of 128 (callers pad; matches the `_use_pallas` gate).
+    bias: optional (B|1, H|1, Lq, Lk) additive. Block sizes default to the
+    measured-optimal sweep values (_auto_blocks)."""
+    b, h, lq, d = q.shape
+    lk = k.shape[2]
+    assert lq % 128 == 0 and lk % 128 == 0, (
+        f"flash_attention needs Lq/Lk multiples of 128, got ({lq}, {lk}); "
+        "pad the sequence — a full-length block would blow VMEM")
+    abq, abk = _auto_blocks(lq, lk, d)
+    block_q = abq if block_q is None else block_q
+    block_k = abk if block_k is None else block_k
+    assert lq % block_q == 0 and lk % block_k == 0, (lq, lk, block_q, block_k)
+    if bias is None:
+        return _flash_nobias(q, k, v, causal, block_q, block_k, interpret)
+    return _flash_bias(q, k, v, bias, causal, block_q, block_k, interpret)
 
 
 def is_tpu_backend() -> bool:

@@ -103,9 +103,14 @@ def train(cfg: RQVAEConfig,
 
     def loss_fn(p, batch, rng):
         x = batch["x"]
+        # the scan-epoch path pads the final partial batch with duplicated
+        # row 0 — mask those rows out of every loss term (the reference's
+        # drop_last=False loader sees exact partial batches)
+        row_mask = batch["valid"] if "valid" in batch else None
         out, rq_loss, _ = model.apply(p, x, use_sk=True, deterministic=False,
-                                      rngs={"dropout": rng})
-        total, recon = model.apply(p, out, rq_loss, x, method=RQVAE.compute_loss)
+                                      row_mask=row_mask, rngs={"dropout": rng})
+        total, recon = model.apply(p, out, rq_loss, x, row_mask,
+                                   method=RQVAE.compute_loss)
         valid = batch["valid"].astype(jnp.float32).sum() if "valid" in batch \
             else jnp.asarray(float(x.shape[0]))
         return total, {"sum_loss": total * valid, "valid": valid,

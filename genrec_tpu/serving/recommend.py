@@ -240,7 +240,11 @@ class HybridRecommender:
         cat = self.catalog
         if self.llm_client is not None and user_profile:
             text = self.llm_client(
-                f"## 新用户信息\n专业/兴趣: {user_profile}\n请生成推荐内容：",
+                COLD_START_USER_PROMPT.format(
+                    major=user_profile
+                    or "未提供专业信息，请基于通用技术发展趋势推荐",
+                    interests=user_profile
+                    or "未提供兴趣信息，请基于专业发展需求推荐"),
                 SYSTEM_PROMPT_COLD_START)
             sims = match_text_to_items(text, cat.item_pool, cat.item_names,
                                        self.text_encoder)
@@ -252,20 +256,80 @@ class HybridRecommender:
                  "url": cat.item_url.get(c, ""), "score": 0.0} for c in picks]
 
     def _llm_generate(self, user_history, user_profile, k) -> str:
-        names = [self.catalog.item_names.get(i, "") for i in user_history]
-        pos = "\n".join(f"  - {n}" for n in names) or "  - 无相关历史记录"
-        prompt = (f"## 学生信息\n### 用户画像\n{user_profile or '暂无'}\n"
-                  f"### 历史学习偏好\n{pos}\n请推荐 {k} 个合适的学习资源。")
+        # the reference sends the full item *content* text for liked items
+        # (`direct_rec.py:243`), falling back to the name when absent
+        texts = [self.catalog.item_content.get(i)
+                 or self.catalog.item_names.get(i, "") for i in user_history]
+        pos = "\n".join(f"  - {t}" for t in texts) or "  - 无相关历史记录"
+        prompt = REGULAR_USER_PROMPT.format(
+            profile=user_profile or "暂无用户画像信息，请基于交互历史进行推断",
+            pos_items=pos)
         return self.llm_client(prompt, SYSTEM_PROMPT_REGULAR.format(k=k))
 
 
-SYSTEM_PROMPT_REGULAR = (
-    "You are an education-course recommendation assistant. Given a "
-    "student's profile and liked resources, recommend {k} suitable "
-    "learning resources by name, one per line."
-)
-SYSTEM_PROMPT_COLD_START = (
-    "You are an education-course recommendation assistant. The student has "
-    "no interaction history; recommend suitable starter courses from their "
-    "major and interests, one per line."
-)
+# Prompt templates reproduced verbatim from the reference
+# (`Baseline/prompts/system_prompt_regular_user.txt`,
+#  `Baseline/prompts/system_prompt_cold_start.txt`; user prompts from
+#  `Baseline/direct_rec.py:226-233,256-263`) — the LLM arm's prompt
+# engineering is part of the baseline's behavior surface.
+SYSTEM_PROMPT_REGULAR = """你是一个专业的人工智能领域学习资源推荐系统，请综合分析用户画像和历史交互行为，为该学生推荐{k}个合适的学习资源。
+
+推荐策略要求：
+
+核心原则
+1. **双重考量**：必须同时考虑用户画像特征和历史学习偏好
+2. **个性化匹配**：推荐内容应与学生的专业背景、兴趣爱好和学习目标高度匹配
+3. **偏好学习**：深度分析学生喜欢内容的共同特征，识别学习偏好模式
+4. **规避策略**：避免推荐与学生不喜欢内容相似的资源类型
+
+输出格式
+请严格按照以下格式输出推荐的学习资源：
+
+**[资源标题]**
+   - 关键词：[3-5个描述该资源内容的核心关键词]
+
+注意事项
+- 生成的学习资源应该是具体的论文、课程、博客或技术文档
+- 避免重复推荐相似内容
+- 如果专业或兴趣信息不够具体，请基于常见的专业发展路径进行推荐"""
+
+SYSTEM_PROMPT_COLD_START = """你是一个专业的人工智能领域学习资源推荐系统，专门为新用户提供个性化的学习资源推荐。
+
+推荐策略要求：
+
+核心原则
+1. **专业匹配**：根据用户的专业背景，推荐与该专业高度相关的学习资源
+2. **兴趣导向**：结合用户的兴趣标签，确保推荐内容能够激发学习兴趣
+3. **多样性平衡**：推荐内容应涵盖该专业的核心领域和前沿技术
+4. **实用性优先**：推荐具体的、可操作的学习资源，避免过于抽象的概念
+
+
+输出格式
+请严格按照以下格式输出推荐的学习资源：
+
+**[资源标题]**
+   - 关键词：[3-5个描述该资源内容的核心关键词]
+
+
+注意事项
+- 生成的学习资源应该是具体的论文、课程、博客或技术文档
+- 避免重复推荐相似内容
+- 如果专业或兴趣信息不够具体，请基于常见的专业发展路径进行推荐"""
+
+REGULAR_USER_PROMPT = """## 学生信息
+    ### 用户画像
+    {profile}
+    ### 历史学习偏好分析
+    **该学生喜欢的学习资源内容：**
+    {pos_items}
+    请根据以上信息为该学生推荐合适的学习资源。"""
+
+COLD_START_USER_PROMPT = """## 新用户信息
+
+### 用户专业背景
+专业：{major}
+
+### 用户兴趣标签
+兴趣标签：{interests}
+
+请生成推荐内容："""

@@ -28,7 +28,7 @@ import optax
 from genrec_tpu.configs import TrainerConfig
 from genrec_tpu.train.checkpoint import CheckpointStore, abstract_like
 from genrec_tpu.train.optim import make_optimizer
-from genrec_tpu.utils.misc import get_logger
+from genrec_tpu.utils.misc import enable_compilation_cache, get_logger
 from genrec_tpu.utils.plotting import plot_loss_curves
 
 # loss_fn(params, batch, rng) -> (loss, aux_dict);  aux must contain
@@ -84,6 +84,9 @@ class Trainer:
         self.cfg = cfg
         self.loss_fn = loss_fn
         self.eval_loss_fn = eval_loss_fn or loss_fn
+        # persistent XLA compile cache: the whole-epoch scan / beam programs
+        # cost 100s+ to compile; repeat runs (parity sweeps, benches) hit it
+        enable_compilation_cache()
         self.tx = make_optimizer(cfg, steps_per_epoch)
         # defensive copy: the jitted step donates params, which would
         # otherwise consume the caller's arrays

@@ -532,6 +532,9 @@ def main() -> None:
     ap.add_argument("--model-seeds", type=int, nargs="+", default=[42],
                     help="model/init seeds per corpus; >1 quantifies the "
                     "early-stop protocol's run-to-run variance")
+    ap.add_argument("--no-md", action="store_true",
+                    help="write the JSON artifact only; PARITY.md is owned "
+                    "by scripts/parity_merge.py when runs span invocations")
     args = ap.parse_args()
 
     results = {"config": vars(args)}
@@ -581,6 +584,9 @@ def main() -> None:
     with open(args.out, "w") as f:
         json.dump(results, f, indent=2, default=float)
     print(f"wrote {args.out}")
+
+    if args.no_md:
+        return
 
     # PARITY.md
     md = [
