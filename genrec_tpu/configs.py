@@ -51,6 +51,9 @@ class TrainerConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # bfloat16 on TPU for the large configs
     keep_checkpoints: int = 5  # bounded retention (RQ-VAE/train.py:230-246)
+    # when set, Trainer.fit captures ONE jax.profiler trace of the second
+    # (post-compile) training epoch into this directory
+    profile_dir: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

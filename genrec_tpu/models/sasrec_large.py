@@ -41,7 +41,8 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from genrec_tpu.configs import SASRecLargeConfig
 from genrec_tpu.models.sasrec import SASRecBlock, _bce
-from genrec_tpu.ops.embedding import sharded_embedding_lookup
+from genrec_tpu.ops.embedding import (alltoall_embedding_lookup,
+                                      sharded_embedding_lookup)
 from genrec_tpu.ops.negative_sampling import sample_negatives
 
 
@@ -83,12 +84,26 @@ class SASRecLarge(nn.Module):
     over it); set ``use_sharded=False`` to run the identical parameterization
     through a plain ``jnp.take`` — the replicated reference used by the
     grads-equality test and by single-device serving.
+
+    ``lookup_impl`` selects the collective for sharded reads:
+    - ``"psum"`` (default): masked local gather + psum — differentiable,
+      the training path; per-device ICI traffic ≈ 2·(M−1)/M·B·D floats.
+    - ``"alltoall"``: ID-partition exchange
+      (:func:`genrec_tpu.ops.embedding.alltoall_embedding_lookup`) —
+      forward-only, for EVAL/SERVING instances; traffic ≈
+      2·c·B/M·(D+1) floats per device (c = capacity factor), an
+      ~M/(2c)× byte saving that grows with the mesh. Overflowed ids
+      (traffic skew beyond c·B/M per shard) read as zero rows; size c
+      for the id distribution. Construct a separate module instance with
+      this flag for eval — training must keep ``"psum"`` (asserted).
     """
 
     item_num: int
     cfg: SASRecLargeConfig
     mesh: Mesh
     use_sharded: bool = True
+    lookup_impl: str = "psum"  # "psum" | "alltoall"
+    alltoall_capacity: float = 2.0
 
     def setup(self):
         c = self.cfg
@@ -111,7 +126,11 @@ class SASRecLarge(nn.Module):
     def embed(self, ids):
         """Pad-masked row gather (torch padding_idx=0 semantics,
         `SASRec/model.py:18`) through the sharded or replicated path."""
-        if self.use_sharded:
+        if self.use_sharded and self.lookup_impl == "alltoall":
+            e, _ok = alltoall_embedding_lookup(
+                self.item_table, ids, self.mesh,
+                capacity_factor=self.alltoall_capacity)
+        elif self.use_sharded:
             e = sharded_embedding_lookup(self.item_table, ids, self.mesh)
         else:
             e = jnp.take(self.item_table, ids, axis=0)
@@ -156,6 +175,9 @@ def train_loss_sampled(model: SASRecLarge, params, inputs, targets, rng,
 
     Returns (normalized loss, valid-timestep count).
     """
+    assert model.lookup_impl == "psum", (
+        "training requires the differentiable psum lookup; alltoall is the "
+        "forward-only eval/serving path (ops/embedding.py docstring)")
     drop_rng, neg_rng = jax.random.split(rng)
     # exclude the full rated set — history AND the shifted targets (the last
     # positive is absent from `inputs`), matching the reference's

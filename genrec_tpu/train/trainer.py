@@ -305,8 +305,19 @@ class Trainer:
         first_epoch_s = 0.0  # jit-compile epoch, excluded from steady ex/s
         first_epoch_examples = 0
 
+        initial_epoch = self.start_epoch
         for epoch in range(self.start_epoch, cfg.epochs + 1):
             epochs_run = epoch
+            # profile the second (post-compile) epoch when asked — the first
+            # is dominated by XLA compilation and would drown the steady-state
+            # step breakdown the trace is for
+            profiling_this = (cfg.profile_dir is not None
+                              and epoch == min(initial_epoch + 1, cfg.epochs))
+            if profiling_this:
+                from genrec_tpu.utils.profiling import trace as _trace
+                trace_cm = _trace(cfg.profile_dir)
+                trace_cm.__enter__()
+                self.logger.info(f"Profiling epoch {epoch} → {cfg.profile_dir}")
             t0 = time.perf_counter()
             losses, valids = [], []
             n_examples = 0
@@ -336,6 +347,8 @@ class Trainer:
             # pulled, not just block_until_ready on a future)
             sum_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
             sum_valid = float(jnp.sum(jnp.stack(valids))) if valids else 0.0
+            if profiling_this:
+                trace_cm.__exit__(None, None, None)
             dt = time.perf_counter() - t0
             phase["train"] += dt
             total_time += dt

@@ -578,6 +578,12 @@ def main() -> None:
                       + json.dumps({k: round(v, 4) for k, v in out.items()
                                     if "@" in k}), flush=True)
                 runs[key].append(out)
+                # incremental write: hours-long reference runs must not be
+                # lost if a later run (or the driver) dies mid-invocation
+                results["runs"] = runs
+                os.makedirs(os.path.dirname(args.out), exist_ok=True)
+                with open(args.out, "w") as f:
+                    json.dump(results, f, indent=2, default=float)
 
     results["runs"] = runs
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
