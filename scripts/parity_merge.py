@@ -1,24 +1,27 @@
 """Merge reference-side and genrec-tpu-side parity artifacts into PARITY.md.
 
-The head-to-head harness (`scripts/parity_headtohead.py`) can run either
-side alone (`--skip`); the reference (torch CPU) side takes ~30-60 min per
-run while the TPU side takes seconds, so in practice they are produced in
-separate invocations and merged here:
+The head-to-head harness (`scripts/parity_headtohead.py`) runs either side
+alone (`--skip`); reference (torch CPU) runs take minutes-to-hours while
+the TPU side takes seconds-to-minutes, so runs accumulate across many
+invocations/artifacts and are merged here into the FIVE-pipeline table:
 
     python scripts/parity_merge.py \
-        --ref artifacts/parity_ref_runs.json \
-        --tpu artifacts/parity_tpu2.json
+        --inputs artifacts/parity_ref_runs.json artifacts/parity_tpu2.json ...
 
-`--ref` holds the reference runs (one record per corpus-seed × model-seed,
-metric keys like Hit@10 / Recall@10); `--tpu` is a harness output JSON.
+Runs are pooled per side and de-duplicated by (pipeline, corpus_seed,
+model_seed) — the LAST artifact listed wins a duplicate cell, so list
+newer artifacts after older ones.
 """
 
 from __future__ import annotations
 
 import argparse
+import glob
 import json
 import os
 import sys
+
+import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -27,67 +30,139 @@ from parity_headtohead import TOPK, _fmt_table  # noqa: E402
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 
+KEYS = ("ref_sasrec", "tpu_sasrec", "ref_tiger", "tpu_tiger",
+        "ref_rqvae", "tpu_rqvae", "ref_tiger_prefix", "tpu_tiger_prefix",
+        "ref_dense_t5", "tpu_dense_t5")
+
+DEFAULT_INPUTS = [
+    "artifacts/parity_ref_runs.json",      # r2: ref sasrec x4 + ref tiger x2
+    "artifacts/parity_ref_rqvae.json",
+    "artifacts/parity_ref_prefix.json",
+    "artifacts/parity_tpu2.json",          # r2: tpu sasrec/tiger x8
+    "artifacts/parity_tpu3.json",          # r2: tpu rqvae/prefix
+    "artifacts/parity_tpu_rqvae.json",
+    "artifacts/parity_r3_*.json",          # r3 fills: dense, sasrec, prefix
+]
+
+
+def load_runs(paths):
+    pooled = {k: {} for k in KEYS}
+    for path in paths:
+        try:
+            data = json.load(open(path))
+        except FileNotFoundError:
+            continue
+        runs = data.get("runs", data)  # bare-runs artifacts (r2 ref files)
+        for k in KEYS:
+            for r in runs.get(k, []) or []:
+                cell = (r.get("corpus_seed", "?"), r.get("model_seed", "?"))
+                pooled[k][cell] = r
+    return {k: list(v.values()) for k, v in pooled.items()}
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ref", default="artifacts/parity_ref_runs.json")
-    ap.add_argument("--tpu", default="artifacts/parity_tpu2.json")
+    ap.add_argument("--inputs", nargs="+", default=DEFAULT_INPUTS)
     ap.add_argument("--out", default=os.path.join(REPO, "PARITY.md"))
     args = ap.parse_args()
 
-    ref = json.load(open(args.ref))["runs"]
-    tpu = json.load(open(args.tpu))["runs"]
+    paths = []
+    for pat in args.inputs:
+        expanded = sorted(glob.glob(os.path.join(REPO, pat))) or \
+            sorted(glob.glob(pat))
+        paths.extend(expanded or [pat])
+    runs = load_runs(paths)
 
-    def seeds(runs):
-        cs = sorted({r.get("corpus_seed", "?") for r in runs})
-        ms = sorted({r.get("model_seed", "?") for r in runs})
-        return cs, ms
+    def grid(key):
+        return sorted(((r.get("corpus_seed", "?"), r.get("model_seed", "?"))
+                       for r in runs[key]), key=str)
 
-    sas_cs, sas_ms = seeds(tpu["tpu_sasrec"])
     md = [
-        "# PARITY — head-to-head vs the PyTorch reference",
+        "# PARITY — five-pipeline head-to-head vs the PyTorch reference",
         "",
-        "Same synthetic corpora (4000 users × 240 items), same H5 contract "
-        "files, same hyperparameters (the reference `main.py` param dicts), "
-        "same protocol (best-val checkpoint, early-stop patience 10; SASRec "
-        "60 epochs, TIGER 25). The reference side runs the *actual* "
-        "`/root/reference` code on torch CPU; the genrec-tpu side runs its "
-        "pipelines on one TPU v5e chip. TIGER decodes UNCONSTRAINED on both "
-        "sides (trie-constrained decoding is a genrec-tpu improvement, off "
-        "for parity). SASRec uses torch-matching N(0,1) embedding init "
-        "(`SASRecConfig.emb_init_stddev=1.0`) so the early-stop protocol "
+        "Same synthetic corpora (4000 users × 240 items, topic-structured), "
+        "same H5 contract files, same hyperparameters (the reference "
+        "`main.py` param dicts), same protocol (best-val checkpoint, "
+        "early-stop patience 10; SASRec 60 epochs, TIGER 25-30, "
+        "TIGER-prefix 25, RQ-VAE 100, DenseT5 15 both sides). The "
+        "reference side runs the *actual* `/root/reference` code on torch "
+        "CPU; the genrec-tpu side runs its pipelines on one TPU chip. "
+        "TIGER/prefix decode UNCONSTRAINED on both sides (trie-constrained "
+        "decoding is a genrec-tpu improvement, off for parity — see "
+        "`artifacts/ablation_tiger_r3.json` for what it adds). SASRec uses "
+        "torch-matching N(0,1) embedding init so the early-stop protocol "
         "follows the reference's val-loss trajectory.",
         "",
-        f"Corpus seeds {sas_cs}; model seeds per side as listed (n). The "
-        "reference's early-stop-on-val-BCE protocol has large run-to-run "
-        "variance on these corpora (e.g. reference SASRec Hit@10 spans "
-        "0.048–0.099 across model seeds on ONE corpus), so pooled "
-        "mean [min–max] is reported; both sides are run multiple times.",
+        "The early-stop-on-val-loss protocol has large run-to-run variance "
+        "on these corpora, so pooled mean [min–max] over all "
+        "(corpus seed × model seed) runs is reported per side.",
         "",
     ]
-    sas_metrics = [f"Hit@{k}" for k in TOPK] + [f"NDCG@{k}" for k in TOPK]
-    tig_metrics = [f"Recall@{k}" for k in TOPK] + [f"NDCG@{k}" for k in TOPK]
-    md.append(_fmt_table("SASRec (leave-one-out, strict rank)",
-                         sas_metrics, ref["ref_sasrec"], tpu["tpu_sasrec"]))
-    md.append(_fmt_table("TIGER (beam 20, exact-sequence match)",
-                         tig_metrics, ref["ref_tiger"], tpu["tpu_tiger"]))
+    sas = [f"Hit@{k}" for k in TOPK] + [f"NDCG@{k}" for k in TOPK]
+    tig = [f"Recall@{k}" for k in TOPK] + [f"NDCG@{k}" for k in TOPK]
+    rq = ["best_collision@rate", "post_unique@frac", "prefix3@distinct"]
 
-    # throughput summary from the tpu runs
-    tt = [r for r in tpu["tpu_tiger"] if "steady_examples_per_sec" in r]
+    tables = [
+        ("SASRec (leave-one-out, strict rank)", sas, "sasrec"),
+        ("RQ-VAE (collision rate / post-repair code table)", rq, "rqvae"),
+        ("TIGER (beam 20, exact-sequence match)", tig, "tiger"),
+        ("TIGER-prefix (3 major-hierarchy adapters, beam 20)", tig,
+         "tiger_prefix"),
+        ("DenseT5 (encoder-only dense retrieval, cosine top-k)", tig,
+         "dense_t5"),
+    ]
+    for title, metrics, stem in tables:
+        ref, tpu = runs[f"ref_{stem}"], runs[f"tpu_{stem}"]
+        if ref and tpu:
+            metrics = [m for m in metrics
+                       if all(m in r for r in ref) and all(m in r for r in tpu)]
+            md.append(_fmt_table(title, metrics, ref, tpu))
+            md.append(f"ref cells (corpus, model seed): {grid(f'ref_{stem}')};"
+                      f" tpu cells: {grid(f'tpu_{stem}')}\n")
+        else:
+            md.append(f"### {title}\n\nINCOMPLETE: ref n={len(ref)}, "
+                      f"tpu n={len(tpu)}\n")
+
+    # hybrid-baseline LOO row (artifact produced by eval_baseline_loo.py)
+    loo_path = os.path.join(REPO, "artifacts", "baseline_loo.json")
+    if os.path.exists(loo_path):
+        loo = json.load(open(loo_path))
+        p14 = loo["reference_protocol_max14"]
+        p200 = loo["extended_200_users"]
+        md.append(
+            "### LLM-hybrid baseline (leave-one-out, no-LLM α=β=0.5 mode)\n\n"
+            "The reference prints these at runtime only "
+            "(`Baseline/evaluation.py:229-252`, max_users=14, seed 42); the "
+            "rebuild owns a standing number on a synthetic app-DB corpus "
+            "(80 classes / 8 topics / 300 users, CSV→SQLite→ETL path):\n\n"
+            f"| protocol | Precision@10 | Recall@10 | Hit@10 | NDCG@10 |\n"
+            f"|---|---|---|---|---|\n"
+            f"| reference cap (14 users) | {p14['Precision@10']:.4f} | "
+            f"{p14['Recall@10']:.4f} | {p14['Hit@10']:.4f} | "
+            f"{p14['NDCG@10']:.4f} |\n"
+            f"| 200 users | {p200['Precision@10']:.4f} | "
+            f"{p200['Recall@10']:.4f} | {p200['Hit@10']:.4f} | "
+            f"{p200['NDCG@10']:.4f} |\n\n"
+            f"Random floor Hit@10 ≈ {loo['random_floor_hit@10']:.3f}. "
+            "Artifact: `artifacts/baseline_loo.json`.\n")
+
+    tt = [r for r in runs["tpu_tiger"] if "steady_examples_per_sec" in r]
     if tt:
         steady = sum(r["steady_examples_per_sec"] for r in tt) / len(tt)
         md.append(
             f"TIGER end-to-end pipeline training throughput (steady-state, "
             f"excl. jit-compile epoch, mean of {len(tt)} runs): "
             f"**{steady:,.0f} ex/s** on one chip vs the reference GPU's "
-            "3.1K (BASELINE.md).\n")
-    md.append("Raw runs: `artifacts/parity_ref_runs.json` (reference side), "
-              "`artifacts/parity_tpu2.json` (genrec-tpu side). Harness: "
-              "`scripts/parity_headtohead.py`; merge: "
-              "`scripts/parity_merge.py`.\n")
+            "3.1K (BASELINE.md); see bench.py for the scan-epoch headline.\n")
+    md.append("Merged artifacts: " + ", ".join(
+        f"`{os.path.relpath(p, REPO)}`" for p in paths
+        if os.path.exists(p)) + ". Harness: `scripts/parity_headtohead.py`; "
+        "merge: `scripts/parity_merge.py`.\n")
     with open(args.out, "w") as f:
         f.write("\n".join(md))
     print(f"wrote {args.out}")
+    for k in KEYS:
+        print(f"  {k}: n={len(runs[k])}")
 
 
 if __name__ == "__main__":

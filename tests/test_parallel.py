@@ -319,3 +319,56 @@ def test_tiger_pipeline_tensor_parallel_matches_dp(tmp_path):
     art_dp = run(model_axis=1)
     np.testing.assert_allclose(art_tp.result.train_losses,
                                art_dp.result.train_losses, rtol=2e-4)
+
+
+# ------------------------------------------------------------ ring attention
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_dense(mesh_dp, causal):
+    """Context-parallel ring attention (sequence sharded over 8 devices)
+    equals single-device attention, values AND grads — the SP/CP wiring on
+    top of the blockwise kernel (SURVEY §5 long-context)."""
+    from genrec_tpu.ops.attention import _xla_attention
+    from genrec_tpu.ops.ring_attention import ring_attention
+
+    b, h, L, d = 2, 2, 64, 16  # L shards to 8 tokens/device
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (b, h, L, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, L, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, L, d))
+    seq_sh = NamedSharding(mesh_dp, P(None, None, "data", None))
+    qs, ks, vs = (jax.device_put(x, seq_sh) for x in (q, k, v))
+
+    out = ring_attention(qs, ks, vs, mesh_dp, causal=causal)
+    ref = _xla_attention(q, k, v, None, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    w = jax.random.normal(jax.random.PRNGKey(3), (b, h, L, d))
+
+    def loss_ring(q, k, v):
+        return jnp.sum(ring_attention(q, k, v, mesh_dp, causal=causal) * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, None, causal) * w)
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(qs, ks, vs)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_ring, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-5, rtol=3e-5)
+
+
+def test_ring_attention_dp_cp_mesh(mesh_2x4):
+    """DP x CP: batch over 'data', sequence over 'model' — both at once."""
+    from genrec_tpu.ops.attention import _xla_attention
+    from genrec_tpu.ops.ring_attention import ring_attention
+
+    b, h, L, d = 4, 2, 32, 16
+    q = jax.random.normal(jax.random.PRNGKey(0), (b, h, L, d))
+    sh = NamedSharding(mesh_2x4, P("data", None, "model", None))
+    qs = jax.device_put(q, sh)
+    out = ring_attention(qs, qs, qs, mesh_2x4, axis_name="model",
+                         causal=True, batch_axis="data")
+    ref = _xla_attention(q, q, q, None, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
