@@ -145,6 +145,9 @@ class T5ArchConfig:
     tie_word_embeddings: bool = True
     dtype: str = "float32"  # computation dtype: float32 | bfloat16 (params
     # stay float32; norms/softmax/logits accumulate in float32 either way)
+    remat: bool = False  # rematerialize each block's activations in the
+    # backward pass (jax.checkpoint) — trades ~1/3 more FLOPs for O(layers)
+    # less activation HBM; for the scaled/long-context configs, not parity
 
 
 @dataclasses.dataclass(frozen=True)

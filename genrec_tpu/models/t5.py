@@ -186,8 +186,10 @@ class T5Block(nn.Module):
         self.ff = T5FeedForward(c)
         self.drop = nn.Dropout(c.dropout_rate)
 
-    def __call__(self, x, self_bias, enc_out=None, cross_mask=None, *,
+    def __call__(self, x, self_bias, enc_out=None, cross_mask=None,
                  deterministic: bool = True, cross_kv=None):
+        # deterministic/cross_kv are positional-friendly so nn.remat's
+        # static_argnums can reach `deterministic` (T5Stack.setup)
         drop = lambda t: self.drop(t, deterministic=deterministic)
         h = self.self_norm(x)
         x = x + drop(self.self_attn(h, h, self_bias,
@@ -222,7 +224,13 @@ class T5Stack(nn.Module):
         c = self.cfg
         self.rel_bias = RelativePositionBias(
             c, bidirectional=not self.is_decoder)
-        self.blocks = [T5Block(c, self.is_decoder, name=f"block_{i}")
+        # remat: recompute each block in backward instead of saving its
+        # activations — HBM is the usual TPU bottleneck, and at parity
+        # d_model the MXU is underfed so the ~1/3 extra FLOPs are free.
+        # static_argnums=(5,) marks `deterministic` (arg 0 is the module).
+        block_cls = (nn.remat(T5Block, static_argnums=(5,)) if c.remat
+                     else T5Block)
+        self.blocks = [block_cls(c, self.is_decoder, name=f"block_{i}")
                        for i in range(self.num_layers)]
         self.final_norm = RMSNorm(c.layer_norm_epsilon)
         self.drop = nn.Dropout(c.dropout_rate)
@@ -240,9 +248,8 @@ class T5Stack(nn.Module):
 
         x = self.drop(inputs_embeds, deterministic=deterministic)
         for i, block in enumerate(self.blocks):
-            x = block(x, self_bias, enc_out, cross_mask,
-                      deterministic=deterministic,
-                      cross_kv=None if cross_kvs is None else cross_kvs[i])
+            x = block(x, self_bias, enc_out, cross_mask, deterministic,
+                      None if cross_kvs is None else cross_kvs[i])
         x = self.final_norm(x)
         return self.drop(x, deterministic=deterministic)
 

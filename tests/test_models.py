@@ -168,3 +168,36 @@ def test_dense_t5_contrastive_identity():
     perm = jnp.roll(e, 1, axis=0)
     l_diff = float(contrastive_loss(e, perm, 0.07))
     assert l_same < l_diff
+
+
+def test_t5_remat_grads_match():
+    """arch.remat=True (block-level jax.checkpoint) must change memory, not
+    math: loss and grads equal the non-remat tower bit-for-bit (up to f32
+    reassociation)."""
+    import dataclasses
+
+    from genrec_tpu.configs import TIGERConfig
+    from genrec_tpu.models.tiger import TIGER
+
+    cfg = TIGERConfig()
+    cfg_r = dataclasses.replace(
+        cfg, arch=dataclasses.replace(cfg.arch, remat=True))
+    m, mr = TIGER(cfg), TIGER(cfg_r)
+    rng = np.random.default_rng(0)
+    ii = jnp.asarray(rng.integers(1, 33, size=(4, 80)), jnp.int32)
+    am = jnp.ones((4, 80), jnp.int32)
+    lab = jnp.asarray(rng.integers(1, 33, size=(4, 4)), jnp.int32)
+    p = m.init(jax.random.PRNGKey(0), ii, am, lab)
+
+    def loss(mod):
+        def f(p):
+            l, _ = mod.apply(p, ii, am, lab)
+            return l
+        return f
+
+    l1, g1 = jax.value_and_grad(loss(m))(p)
+    l2, g2 = jax.value_and_grad(loss(mr))(p)
+    assert abs(float(l1) - float(l2)) < 1e-6
+    err = max(float(jnp.max(jnp.abs(a - b))) for a, b in
+              zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)))
+    assert err < 1e-5
