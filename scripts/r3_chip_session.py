@@ -97,7 +97,7 @@ def stage_trace():
         trainer=dataclasses.replace(
             configs.TIGERConfig().trainer, epochs=3, seed=42,
             ckpt_dir="/tmp/tiger_trace_ckpt", profile_dir=trace_dir))
-    tiger_pipeline.train(cfg)
+    art = tiger_pipeline.train(cfg)
 
     events = {}
     total_dur = 0.0
@@ -120,7 +120,16 @@ def stage_trace():
                   "2nd epoch traced (post-compile), device-resident scan",
         "trace_files": len(files),
         "total_traced_ms": total_dur,
-        "top_ops_ms": [{"name": n, "ms": round(ms, 2)} for n, ms in top],
+        "note": "the tunneled PJRT backend forwards no DEVICE timeline, so "
+                "the jax.profiler trace captures host threads only; the "
+                "authoritative per-step accounting is the Trainer phase "
+                "breakdown below (wall-clock instrumented around the "
+                "device-resident epoch/val/ckpt calls, value-fetch synced)",
+        "trainer_phase_seconds": art.result.phase_seconds,
+        "steady_examples_per_sec": art.result.steady_examples_per_sec,
+        "examples_per_sec": art.result.examples_per_sec,
+        "top_host_events_ms": [{"name": n, "ms": round(ms, 2)}
+                               for n, ms in top],
     }
     path = os.path.join(REPO, "artifacts", "tiger_trace_breakdown.json")
     with open(path, "w") as f:
