@@ -8,11 +8,33 @@ padded to the batch max — `RQVAE-T5/data_vision.py:119-140`). Reference
 throughput on this workload: ≈12 it/s × 256 ≈ 3.1K ex/s on a GTX 1080 Ti
 (`RQVAE-T5-prefix/output.txt` progress bars); target ≥3× per chip.
 
+Methodology (round 3): every benchmark runs the way the production
+Trainer actually runs — DEVICE-RESIDENT. The dataset is uploaded once and
+a whole epoch executes as ONE jitted ``lax.scan`` over a shuffled index
+matrix (mirrors `genrec_tpu/train/trainer.py` train_epoch), so the number
+measured is the machine's step rate, not per-step Python dispatch over a
+network-attached PJRT client (which round-2 measurements showed costs
+~4.5× at these model sizes: 19.3K ex/s dispatch-stepped vs 86K ex/s
+scan-stepped for the identical train step, `artifacts/scaling_r2_tpu.json`).
+Timing brackets whole-epoch calls and closes with a VALUE fetch (not just
+block_until_ready, which a remote-PJRT client can satisfy early). Each
+scan iteration gathers a fresh batch from the uploaded dataset and takes a
+real optimizer step — nothing is amortized away except host dispatch,
+which the real pipelines also amortize away.
+
+Alongside ex/s we report FLOPs-based MFU so "fast for a tiny model" is
+quantified: FLOPs come from XLA's own cost model for the compiled epoch
+(`compiled.cost_analysis()['flops']`, falling back to an analytic
+matmul count), divided by peak bf16 FLOP/s for the detected chip
+(TPU v5 lite = 197 TFLOP/s). A d_model-64 model cannot saturate a
+128×128 MXU — the MFU line is there to say so honestly.
+
 The other two BASELINE.md rows ride along under "extra":
-- tiger_beam20_eval_seqs_per_sec — beam-search eval throughput, batch 256.
-  Reference: ≈12.3 it/s × 256 ≈ 3.1K seq/s at beam 5 (`RQVAE-T5/output.txt`
-  eval bar); measured here at beam 20 (the quality-table config, beam ≥
-  max(topk)=20 — strictly more work than the reference's measured beam 5).
+- tiger_beam20_eval_seqs_per_sec — beam-search eval throughput, batch 256,
+  scanned over 4 resident batches per call. Reference: ≈12.3 it/s × 256
+  ≈ 3.1K seq/s at beam 5 (`RQVAE-T5/output.txt` eval bar); measured here
+  at beam 20 (the quality-table config, beam ≥ max(topk)=20 — strictly
+  more work than the reference's measured beam 5).
 - sasrec_train_examples_per_sec — full-vocab BCE train step, batch 128.
   Reference: 50–95 s/epoch incl. per-epoch val over the ~86K-user corpus
   (`SASRec/logs/sasrec.log` timestamps) ≈ ~1.2K ex/s train-only estimate.
@@ -33,37 +55,60 @@ TIGER_EVAL_BASELINE_SEQ_S = 3100.0
 # 50-95 s/epoch incl. val over ~86K train seqs → train-only ≈ 1.2K ex/s
 SASREC_TRAIN_BASELINE_EX_S = 1200.0
 
-
-def _timed(step, n_warmup, n_steps, *state):
-    """Run step(*state)->state n_warmup times, then time n_steps; returns
-    (seconds, final_state). Forces a VALUE fetch to close the async gap —
-    on remote-PJRT backends block_until_ready alone can return early."""
-    for _ in range(n_warmup):
-        state = step(*state)
-    float(np.asarray(state[-1]).ravel()[0])
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        state = step(*state)
-    float(np.asarray(state[-1]).ravel()[0])
-    return time.perf_counter() - t0, state
+# peak dense bf16 FLOP/s per chip, by PJRT device_kind
+_PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v5": 459e12,
+    "TPU v6 lite": 918e12,
+    "TPU v6e": 918e12,
+}
 
 
-def _tiger_batch(cfg, B, rng):
-    import jax.numpy as jnp
+def _peak_flops():
+    import jax
 
-    seq = cfg.max_len * cfg.code_dim  # 80 tokens
-    input_ids = jnp.asarray(rng.integers(1, 33, size=(B, seq)), jnp.int32)
-    # realistic left-padding: ~half the history is padding
-    pad = np.zeros((B, seq), np.int32)
-    lens = rng.integers(2, cfg.max_len + 1, size=B) * cfg.code_dim
-    for i, L in enumerate(lens):
-        pad[i, seq - L:] = 1
-    input_ids = input_ids * jnp.asarray(pad)
-    attention_mask = (input_ids != 0).astype(jnp.int32)
-    return input_ids, attention_mask
+    kind = jax.devices()[0].device_kind
+    return kind, _PEAK_BF16.get(kind)
 
 
-def bench_tiger_train(steps: int = 50) -> float:
+def _compiled_flops(jitted, *args):
+    """XLA's own FLOPs estimate for one call of ``jitted(*args)``.
+
+    Returns None when the backend doesn't expose cost analysis (some
+    remote-PJRT plugins) — callers then fall back to an analytic count.
+    """
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):  # older jax: one dict per device
+            ca = ca[0]
+        f = float(ca["flops"])
+        return f if f > 0 else None
+    except Exception:
+        return None
+
+
+def _fetch(x):
+    """Force a VALUE fetch to close the async gap — on remote-PJRT
+    backends block_until_ready alone can return early."""
+    return float(np.asarray(x).ravel()[0])
+
+
+def _rbg_key(seed):
+    import jax
+
+    try:
+        return jax.random.key(seed, impl="rbg")  # hardware RNG for dropout
+    except TypeError:
+        return jax.random.PRNGKey(seed)
+
+
+def bench_tiger_train(epochs: int = 4, steps: int = 50):
+    """Scan-stepped TIGER training: one jit call = ``steps`` optimizer
+    steps, each gathering a fresh batch from a device-resident dataset
+    (the Trainer's production epoch path, `trainer.py` train_epoch)."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -74,48 +119,96 @@ def bench_tiger_train(steps: int = 50) -> float:
     cfg = TIGERConfig()
     model = TIGER(cfg)
     B = 256
+    N = 4 * B  # resident dataset rows; idx_mat gathers fresh batches
     rng = np.random.default_rng(0)
-    input_ids, attention_mask = _tiger_batch(cfg, B, rng)
+    seq = cfg.max_len * cfg.code_dim  # 80 tokens
+    ii = rng.integers(1, 33, size=(N, seq)).astype(np.int32)
+    pad = np.zeros((N, seq), np.int32)
+    lens = rng.integers(2, cfg.max_len + 1, size=N) * cfg.code_dim
+    for i, L in enumerate(lens):  # realistic left padding
+        pad[i, seq - L:] = 1
+    ii *= pad
     # teacher-forcing targets: up to (max_len*2 - 2) items flattened, padded
     # with -100 like the reference collate — the decoder-side workload
     # dominates the step, so faking short targets would overstate ex/s.
     tgt_items = 2 * cfg.max_len - 1  # matches the 95K-corpus max (39 items)
     Lt = tgt_items * cfg.code_dim
-    lab_np = rng.integers(1, 33, size=(B, Lt)).astype(np.int32)
-    tgt_lens = rng.integers(1, tgt_items + 1, size=B) * cfg.code_dim
+    lab = rng.integers(1, 33, size=(N, Lt)).astype(np.int32)
+    tgt_lens = rng.integers(1, tgt_items + 1, size=N) * cfg.code_dim
     for i, L in enumerate(tgt_lens):
-        lab_np[i, L:] = -100
-    labels = jnp.asarray(lab_np)
+        lab[i, L:] = -100
+    data = {
+        "input_ids": jax.device_put(jnp.asarray(ii)),
+        "attention_mask": jax.device_put(jnp.asarray((ii != 0).astype(np.int32))),
+        "labels": jax.device_put(jnp.asarray(lab)),
+    }
+    idx_mat = jax.device_put(jnp.asarray(
+        rng.integers(0, N, size=(steps, B)).astype(np.int32)))
 
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), input_ids,
-                                 attention_mask, labels)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data["input_ids"][:B],
+                                 data["attention_mask"][:B],
+                                 data["labels"][:B])
     tx = optax.adam(cfg.trainer.lr)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, rng):
-        rng, sub = jax.random.split(rng)
+    def epoch(params, opt_state, key, idx_mat, data):
+        def body(carry, idx):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
 
-        def loss_fn(p):
-            loss, _ = model.apply(p, input_ids, attention_mask, labels,
-                                  deterministic=False, rngs={"dropout": sub})
-            return loss
+            def loss_fn(p):
+                loss, _ = model.apply(
+                    p, batch["input_ids"], batch["attention_mask"],
+                    batch["labels"], deterministic=False,
+                    rngs={"dropout": sub})
+                return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, rng, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
 
-    try:
-        key = jax.random.key(1, impl="rbg")  # hardware RNG for dropout masks
-    except TypeError:
-        key = jax.random.PRNGKey(1)
-    dt, _ = _timed(lambda p, o, k, *_: train_step(p, o, k),
-                   3, steps, params, opt_state, key, jnp.zeros(()))
-    return steps * B / dt
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), idx_mat)
+        return params, opt_state, key, losses[-1]
+
+    fit = jax.jit(epoch, donate_argnums=(0, 1))
+    key = _rbg_key(1)
+    flops_per_epoch = _compiled_flops(fit, params, opt_state, key, idx_mat,
+                                      data)
+    # warmup: compile + one full epoch
+    params, opt_state, key, loss = fit(params, opt_state, key, idx_mat, data)
+    _fetch(loss)
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        params, opt_state, key, loss = fit(params, opt_state, key, idx_mat,
+                                           data)
+    _fetch(loss)
+    dt = time.perf_counter() - t0
+    ex_s = epochs * steps * B / dt
+    if flops_per_epoch is None:
+        # analytic matmul count, fwd+bwd = 3× fwd: per token 8d² (self-attn
+        # qkvo) + 4·d·d_ff (ff) per layer; decoder adds cross-attn 8d² and
+        # d·V logits; score/value matmuls 4dT per token per attn head-group.
+        d, dff, V = cfg.d_model, cfg.d_ff, 2 + 32 * cfg.code_dim
+        Le = Ld = cfg.num_layers
+        Te, Td = seq, Lt
+        fwd = (Te * Le * (8 * d * d + 4 * d * dff + 4 * d * Te)
+               + Td * Ld * (16 * d * d + 4 * d * dff + 4 * d * Td
+                            + 4 * d * Te)
+               + Td * 2 * d * V) * 2  # ×2: multiply+add per MAC
+        flops_per_epoch = 3 * fwd * B * steps
+    return ex_s, {"step_ms": round(1e3 * dt / (epochs * steps), 3),
+                  "flops_per_example": round(flops_per_epoch / (steps * B)),
+                  "model_tflops_per_sec":
+                      round(flops_per_epoch * epochs / dt / 1e12, 3)}
 
 
-def bench_tiger_beam_eval(steps: int = 20, num_beams: int = 20) -> float:
+def bench_tiger_beam_eval(calls: int = 5, n_batches: int = 4,
+                          num_beams: int = 20) -> float:
+    """Beam-20 generation over device-resident eval batches: one jit call
+    scans ``n_batches`` resident batches through generate()."""
     import jax
     import jax.numpy as jnp
 
@@ -127,25 +220,45 @@ def bench_tiger_beam_eval(steps: int = 20, num_beams: int = 20) -> float:
     model = TIGER(cfg)
     B = 256
     rng = np.random.default_rng(1)
-    input_ids, attention_mask = _tiger_batch(cfg, B, rng)
+    seq = cfg.max_len * cfg.code_dim
+    ii = rng.integers(1, 33, size=(n_batches, B, seq)).astype(np.int32)
+    pad = np.zeros((n_batches, B, seq), np.int32)
+    lens = rng.integers(2, cfg.max_len + 1, size=(n_batches, B)) * cfg.code_dim
+    for b in range(n_batches):
+        for i, L in enumerate(lens[b]):
+            pad[b, i, seq - L:] = 1
+    ii *= pad
+    batches = jax.device_put(jnp.asarray(ii))
+    masks = jax.device_put(jnp.asarray((ii != 0).astype(np.int32)))
     labels = jnp.asarray(rng.integers(1, 33, size=(B, cfg.code_dim)),
                          jnp.int32)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), input_ids,
-                                 attention_mask, labels)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0], masks[0],
+                                 labels)
 
     @jax.jit
-    def gen(params, ii, am):
-        toks, scores = tiger_mod.generate(model, params, ii, am,
-                                          num_beams=num_beams,
-                                          constraint=None)
-        return toks, scores
+    def eval_scan(params, batches, masks):
+        def body(acc, bm):
+            ii, am = bm
+            toks, scores = tiger_mod.generate(model, params, ii, am,
+                                              num_beams=num_beams,
+                                              constraint=None)
+            return acc + jnp.sum(scores), None
 
-    dt, _ = _timed(lambda p, *_: (p, *gen(p, input_ids, attention_mask)),
-                   2, steps, params, jnp.zeros(()), jnp.zeros(()))
-    return steps * B / dt
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                              (batches, masks))
+        return acc
+
+    _fetch(eval_scan(params, batches, masks))  # compile + warmup
+    t0 = time.perf_counter()
+    for _ in range(calls):
+        acc = eval_scan(params, batches, masks)
+    _fetch(acc)
+    dt = time.perf_counter() - t0
+    return calls * n_batches * B / dt
 
 
-def bench_sasrec_train(steps: int = 50) -> float:
+def bench_sasrec_train(epochs: int = 4, steps: int = 50) -> float:
+    """Scan-stepped SASRec training (full-vocab BCE), device-resident."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -157,43 +270,65 @@ def bench_sasrec_train(steps: int = 50) -> float:
     item_num = 9000  # course-catalog scale of the MOOCCube corpus
     model = SASRec(item_num=item_num, cfg=cfg)
     B = cfg.trainer.batch_size  # 128
+    N = 4 * B
     rng = np.random.default_rng(2)
-    x = rng.integers(1, item_num, size=(B, cfg.max_len)).astype(np.int32)
-    t = rng.integers(1, item_num, size=(B, cfg.max_len)).astype(np.int32)
-    lens = rng.integers(2, cfg.max_len + 1, size=B)
+    x = rng.integers(1, item_num, size=(N, cfg.max_len)).astype(np.int32)
+    t = rng.integers(1, item_num, size=(N, cfg.max_len)).astype(np.int32)
+    lens = rng.integers(2, cfg.max_len + 1, size=N)
     for i, L in enumerate(lens):  # reference pre-pads with 0
         x[i, :cfg.max_len - L] = 0
         t[i, :cfg.max_len - L] = 0
-    x, t = jnp.asarray(x), jnp.asarray(t)
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    data = {"x": jax.device_put(jnp.asarray(x)),
+            "t": jax.device_put(jnp.asarray(t))}
+    idx_mat = jax.device_put(jnp.asarray(
+        rng.integers(0, N, size=(steps, B)).astype(np.int32)))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), data["x"][:B])
     tx = optax.adam(cfg.trainer.lr, *cfg.trainer.adam_betas)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, key):
-        key, sub = jax.random.split(key)
+    def epoch(params, opt_state, key, idx_mat, data):
+        def body(carry, idx):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            bx = jnp.take(data["x"], idx, axis=0)
+            bt = jnp.take(data["t"], idx, axis=0)
 
-        def loss_fn(p):
-            loss, _ = train_loss(model, p, x, t, sub, cfg, item_num)
-            return loss
+            def loss_fn(p):
+                loss, _ = train_loss(model, p, bx, bt, sub, cfg, item_num)
+                return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, key, loss
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
 
-    try:
-        key = jax.random.key(3, impl="rbg")
-    except TypeError:
-        key = jax.random.PRNGKey(3)
-    dt, _ = _timed(lambda p, o, k, *_: step(p, o, k),
-                   3, steps, params, opt_state, key, jnp.zeros(()))
-    return steps * B / dt
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), idx_mat)
+        return params, opt_state, key, losses[-1]
+
+    fit = jax.jit(epoch, donate_argnums=(0, 1))
+    key = _rbg_key(3)
+    params, opt_state, key, loss = fit(params, opt_state, key, idx_mat, data)
+    _fetch(loss)
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        params, opt_state, key, loss = fit(params, opt_state, key, idx_mat,
+                                           data)
+    _fetch(loss)
+    dt = time.perf_counter() - t0
+    return epochs * steps * B / dt
 
 
 def main() -> None:
-    tiger_ex_s = bench_tiger_train()
+    import jax
+
+    tiger_ex_s, tiger_stats = bench_tiger_train()
     beam_seq_s = bench_tiger_beam_eval()
     sasrec_ex_s = bench_sasrec_train()
+
+    kind, peak = _peak_flops()
+    mfu = (round(tiger_stats["model_tflops_per_sec"] * 1e12 / peak, 5)
+           if peak else None)
 
     print(json.dumps({
         "metric": "tiger_train_examples_per_sec",
@@ -209,6 +344,16 @@ def main() -> None:
                 "value": round(sasrec_ex_s, 1),
                 "vs_baseline": round(sasrec_ex_s / SASREC_TRAIN_BASELINE_EX_S, 2),
             },
+            "tiger_train_step_ms": tiger_stats["step_ms"],
+            "tiger_train_flops_per_example": tiger_stats["flops_per_example"],
+            "tiger_train_model_tflops_per_sec":
+                tiger_stats["model_tflops_per_sec"],
+            "device_kind": kind,
+            "peak_bf16_tflops_assumed": peak / 1e12 if peak else None,
+            "tiger_train_mfu": mfu,
+            "methodology": "device-resident lax.scan epochs (one jit call = "
+                           "50 steps), value-fetch timing; see module "
+                           "docstring",
         },
     }))
 
