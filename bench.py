@@ -105,22 +105,10 @@ def _rbg_key(seed):
         return jax.random.PRNGKey(seed)
 
 
-def bench_tiger_train(epochs: int = 4, steps: int = 50):
-    """Scan-stepped TIGER training: one jit call = ``steps`` optimizer
-    steps, each gathering a fresh batch from a device-resident dataset
-    (the Trainer's production epoch path, `trainer.py` train_epoch)."""
-    import jax
-    import jax.numpy as jnp
-    import optax
-
-    from genrec_tpu.configs import TIGERConfig
-    from genrec_tpu.models.tiger import TIGER
-
-    cfg = TIGERConfig()
-    model = TIGER(cfg)
-    B = 256
-    N = 4 * B  # resident dataset rows; idx_mat gathers fresh batches
-    rng = np.random.default_rng(0)
+def _tiger_corpus(cfg, N, rng):
+    """Honest teacher-forcing corpus: 80-token left-padded histories and
+    up-to-(2·max_len−1)-item flat targets padded with -100 like the
+    reference collate (`RQVAE-T5/data_vision.py:119-140`)."""
     seq = cfg.max_len * cfg.code_dim  # 80 tokens
     ii = rng.integers(1, 33, size=(N, seq)).astype(np.int32)
     pad = np.zeros((N, seq), np.int32)
@@ -128,26 +116,60 @@ def bench_tiger_train(epochs: int = 4, steps: int = 50):
     for i, L in enumerate(lens):  # realistic left padding
         pad[i, seq - L:] = 1
     ii *= pad
-    # teacher-forcing targets: up to (max_len*2 - 2) items flattened, padded
-    # with -100 like the reference collate — the decoder-side workload
-    # dominates the step, so faking short targets would overstate ex/s.
     tgt_items = 2 * cfg.max_len - 1  # matches the 95K-corpus max (39 items)
     Lt = tgt_items * cfg.code_dim
     lab = rng.integers(1, 33, size=(N, Lt)).astype(np.int32)
     tgt_lens = rng.integers(1, tgt_items + 1, size=N) * cfg.code_dim
     for i, L in enumerate(tgt_lens):
         lab[i, L:] = -100
-    data = {
-        "input_ids": jax.device_put(jnp.asarray(ii)),
-        "attention_mask": jax.device_put(jnp.asarray((ii != 0).astype(np.int32))),
-        "labels": jax.device_put(jnp.asarray(lab)),
-    }
-    idx_mat = jax.device_put(jnp.asarray(
-        rng.integers(0, N, size=(steps, B)).astype(np.int32)))
+    return {"input_ids": ii, "attention_mask": (ii != 0).astype(np.int32),
+            "labels": lab}
 
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), data["input_ids"][:B],
-                                 data["attention_mask"][:B],
-                                 data["labels"][:B])
+
+def bench_tiger_train(epochs: int = 4, n_buckets: int = 4):
+    """Scan-stepped TIGER training over a device-resident, LENGTH-BUCKETED
+    corpus — the production pipeline path (`trainer.py` train_epoch +
+    `datasets.bucket_by_target_len`, enabled via
+    `TIGERConfig.target_len_buckets`): one jit call per (epoch, bucket),
+    each scan step gathering a fresh batch and taking a real Adam step.
+    Bucketing is the static-shape analogue of the reference collate's
+    pad-to-batch-max; every example still trains once per epoch, so ex/s
+    is comparable end-to-end. (The fused Pallas attention kernel stays at
+    its measured-neutral default "off" here — see configs.T5ArchConfig.)
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from genrec_tpu.configs import TIGERConfig
+    from genrec_tpu.data.datasets import bucket_by_target_len
+    from genrec_tpu.models.tiger import TIGER
+
+    cfg = TIGERConfig()
+    model = TIGER(cfg)
+    B = 256
+    N = 40 * B  # resident corpus rows (~10K examples / epoch)
+    rng = np.random.default_rng(0)
+    host = _tiger_corpus(cfg, N, rng)
+    buckets = [{k: jax.device_put(jnp.asarray(v)) for k, v in b.items()}
+               for b in bucket_by_target_len(host, n_buckets,
+                                             cfg.code_dim)]
+    # per-bucket shuffled index matrices (pad rows -1 → masked via labels)
+    idx_mats = []
+    for b in buckets:
+        n = len(b["labels"])
+        steps_b = -(-n // B)
+        idx = np.arange(n, dtype=np.int32)
+        rng.shuffle(idx)
+        out = np.full((steps_b * B,), -1, np.int32)
+        out[:n] = idx
+        idx_mats.append(jax.device_put(jnp.asarray(out.reshape(steps_b, B))))
+    total_steps = sum(m.shape[0] for m in idx_mats)
+
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                 buckets[0]["input_ids"][:B],
+                                 buckets[0]["attention_mask"][:B],
+                                 buckets[0]["labels"][:B])
     tx = optax.adam(cfg.trainer.lr)
     opt_state = tx.init(params)
 
@@ -155,13 +177,14 @@ def bench_tiger_train(epochs: int = 4, steps: int = 50):
         def body(carry, idx):
             params, opt_state, key = carry
             key, sub = jax.random.split(key)
-            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            safe = jnp.maximum(idx, 0)
+            batch = {k: jnp.take(v, safe, axis=0) for k, v in data.items()}
+            labels = jnp.where((idx >= 0)[:, None], batch["labels"], -100)
 
             def loss_fn(p):
                 loss, _ = model.apply(
                     p, batch["input_ids"], batch["attention_mask"],
-                    batch["labels"], deterministic=False,
-                    rngs={"dropout": sub})
+                    labels, deterministic=False, rngs={"dropout": sub})
                 return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -175,32 +198,49 @@ def bench_tiger_train(epochs: int = 4, steps: int = 50):
 
     fit = jax.jit(epoch, donate_argnums=(0, 1))
     key = _rbg_key(1)
-    flops_per_epoch = _compiled_flops(fit, params, opt_state, key, idx_mat,
-                                      data)
-    # warmup: compile + one full epoch
-    params, opt_state, key, loss = fit(params, opt_state, key, idx_mat, data)
+    xla_flops_per_epoch = 0.0
+    for m, b in zip(idx_mats, buckets):
+        f = _compiled_flops(fit, params, opt_state, key, m, b)
+        xla_flops_per_epoch = (None if f is None or
+                               xla_flops_per_epoch is None
+                               else xla_flops_per_epoch + f)
+    # warmup: compile every bucket shape + one full epoch
+    for m, b in zip(idx_mats, buckets):
+        params, opt_state, key, loss = fit(params, opt_state, key, m, b)
     _fetch(loss)
     t0 = time.perf_counter()
     for _ in range(epochs):
-        params, opt_state, key, loss = fit(params, opt_state, key, idx_mat,
-                                           data)
+        for m, b in zip(idx_mats, buckets):
+            params, opt_state, key, loss = fit(params, opt_state, key, m, b)
     _fetch(loss)
     dt = time.perf_counter() - t0
-    ex_s = epochs * steps * B / dt
-    if flops_per_epoch is None:
-        # analytic matmul count, fwd+bwd = 3× fwd: per token 8d² (self-attn
-        # qkvo) + 4·d·d_ff (ff) per layer; decoder adds cross-attn 8d² and
-        # d·V logits; score/value matmuls 4dT per token per attn head-group.
-        d, dff, V = cfg.d_model, cfg.d_ff, 2 + 32 * cfg.code_dim
-        Le = Ld = cfg.num_layers
-        Te, Td = seq, Lt
-        fwd = (Te * Le * (8 * d * d + 4 * d * dff + 4 * d * Te)
-               + Td * Ld * (16 * d * d + 4 * d * dff + 4 * d * Td
-                            + 4 * d * Te)
-               + Td * 2 * d * V) * 2  # ×2: multiply+add per MAC
-        flops_per_epoch = 3 * fwd * B * steps
-    return ex_s, {"step_ms": round(1e3 * dt / (epochs * steps), 3),
-                  "flops_per_example": round(flops_per_epoch / (steps * B)),
+    ex_s = epochs * N / dt
+    # analytic matmul count, fwd+bwd = 3× fwd: per token 8d² (self-attn
+    # qkvo) + 4·d·d_ff (ff) per layer; decoder adds cross-attn 8d² and
+    # d·V logits; score/value matmuls 4dT per token per attn head-group.
+    # MFU uses THIS count — XLA's cost_analysis() under-reports heavily
+    # fused TPU programs (it returned ~17M flops/ex where the matmul
+    # algebra gives ~150-250M depending on bucket width).
+    d, dff, V = cfg.arch.d_model, cfg.arch.d_ff, 2 + 32 * cfg.code_dim
+    Le = Ld = cfg.arch.num_layers
+    Te = cfg.max_len * cfg.code_dim
+    fwd = 0.0
+    for b in buckets:
+        Td = b["labels"].shape[1]
+        nb = len(b["labels"])
+        fwd += nb * ((Te * Le * (8 * d * d + 4 * d * dff + 4 * d * Te)
+                      + Td * Ld * (16 * d * d + 4 * d * dff + 4 * d * Td
+                                   + 4 * d * Te)
+                      + Td * 2 * d * V) * 2)  # ×2: multiply+add per MAC
+    flops_per_epoch = 3 * fwd
+    return ex_s, {"step_ms": round(1e3 * dt / (epochs * total_steps), 3),
+                  "n_buckets": len(buckets),
+                  "bucket_widths": [int(b["labels"].shape[1])
+                                    for b in buckets],
+                  "flops_per_example": round(flops_per_epoch / N),
+                  "xla_cost_model_flops_per_example":
+                      (round(xla_flops_per_epoch / N)
+                       if xla_flops_per_epoch else None),
                   "model_tflops_per_sec":
                       round(flops_per_epoch * epochs / dt / 1e12, 3)}
 

@@ -143,6 +143,17 @@ class T5ArchConfig:
     # (check_data_alignment.py:103-135); kept for parity, overridable.
     decoder_start_token_id: int = 0  # = pad (RQVAE-T5/model.py:22)
     tie_word_embeddings: bool = True
+    # fused Pallas training attention (ops/t5_attention.py): "auto" uses it
+    # for training steps on TPU backends, "on" forces it everywhere incl.
+    # CPU interpret mode (tests), "off" keeps the explicit XLA composition.
+    # Default off: at the parity shape (d_model 64, H4/D16, L≤156) the
+    # compiled kernel is numerically exact but perf-NEUTRAL without
+    # dropout (11.59 vs 11.55 ms/step) and loses with it (15.9 vs 12.9 —
+    # the XLA-side bf16 mask traffic outweighs the fused-probs saving;
+    # the step is VPU-elementwise-bound, not HBM-bound, at this size).
+    # Measured: artifacts/t5_attention_validate.json. Enable for larger
+    # d_model/head-count configs where probs materialization dominates.
+    fused_attention: str = "off"
     dtype: str = "float32"  # computation dtype: float32 | bfloat16 (params
     # stay float32; norms/softmax/logits accumulate in float32 either way)
     remat: bool = False  # rematerialize each block's activations in the
@@ -165,6 +176,11 @@ class TIGERConfig:
     max_gen_len: int = 5  # decoder_start + 4 code tokens (RQVAE-T5/model.py:76)
     beam_size: int = 5
     topk_list: Tuple[int, ...] = (2, 5, 10, 20)
+    # >1 partitions the train split into target-length buckets (quantile
+    # boundaries) so short-target batches skip the corpus-max decoder
+    # padding — the static-shape equivalent of the reference collate's
+    # pad-to-batch-max (`RQVAE-T5/data_vision.py`). 1 = single shape.
+    target_len_buckets: int = 1
     constrained_decoding: str = "level"  # none | level | trie
     # "none"  = reference parity (unconstrained beam, RQVAE-T5/model.py:62-81)
     # "level" = per-step level-range token masks

@@ -184,6 +184,44 @@ def build_tiger_arrays(split: TigerSplit, max_len: int, code_dim: int = 4,
                        np.asarray(split.user_ids, dtype=np.int32))
 
 
+def bucket_by_target_len(arrays: Dict[str, np.ndarray], n_buckets: int,
+                         code_dim: int = 4,
+                         label_key: str = "labels") -> List[Dict[str, np.ndarray]]:
+    """Partition a TIGER-style data dict into length buckets on the
+    teacher-forcing target width.
+
+    The reference DataLoader pads each batch to ITS max target length
+    (`RQVAE-T5/data_vision.py` collate); the static-shape TPU port pads to
+    the corpus max instead, which at B=256/Lt=156 wastes roughly half the
+    decoder compute (targets average ~half the max). Bucketing restores
+    the per-batch-max economy with a handful of static shapes: boundaries
+    sit at target-length quantiles (rounded up to whole items), every
+    bucket's labels are sliced to its own width, and the Trainer runs one
+    device-resident scan per bucket per epoch (`train_data_buckets`).
+
+    Returns 1..n_buckets dicts (empty buckets are dropped); with
+    n_buckets=1 this is the identity partition.
+    """
+    labels = arrays[label_key]
+    lens = (labels != -100).sum(axis=1)
+    qs = np.quantile(lens, [(i + 1) / n_buckets for i in range(n_buckets)])
+    widths = sorted({int(np.ceil(q / code_dim) * code_dim) for q in qs})
+    if widths and widths[-1] < labels.shape[1]:
+        # ensure the top bucket still fits the longest row
+        widths[-1] = int(np.ceil(lens.max() / code_dim) * code_dim)
+    buckets = []
+    lower = -1
+    for w in widths:
+        sel = (lens > lower) & (lens <= w)
+        lower = w
+        if not sel.any():
+            continue
+        d = {k: v[sel] for k, v in arrays.items()}
+        d[label_key] = d[label_key][:, :w]
+        buckets.append(d)
+    return buckets
+
+
 def join_prof_embs(user_ids: np.ndarray, prof_user_ids: np.ndarray,
                    prof_embs: np.ndarray) -> np.ndarray:
     """Per-sample join of prof_lvl embeddings by user id.

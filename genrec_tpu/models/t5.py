@@ -30,9 +30,30 @@ import jax
 import jax.numpy as jnp
 
 from genrec_tpu.configs import T5ArchConfig
-from genrec_tpu.ops.attention import dot_product_attention
+from genrec_tpu.ops.attention import dot_product_attention, is_tpu_backend
+from genrec_tpu.ops.t5_attention import fused_t5_attention_flat
 
 _NEG_INF = -1e9
+
+
+class AttnSpec:
+    """Structured attention inputs for the fused Pallas training kernel:
+    the learned rel-pos bias (H, Lq, Lk), the key-padding mask (B, Lk)
+    and the causal flag kept SEPARATE (instead of pre-summed into one
+    dense (B, H, Lq, Lk) bias) so the kernel can stream the per-head bias
+    once and never materialize the batch-broadcast sum. `causal` rides in
+    the pytree aux data — it must stay a Python bool through nn.remat."""
+
+    def __init__(self, pos_bias, kv_mask, causal: bool):
+        self.pos_bias = pos_bias
+        self.kv_mask = kv_mask
+        self.causal = causal
+
+
+jax.tree_util.register_pytree_node(
+    AttnSpec,
+    lambda s: ((s.pos_bias, s.kv_mask), s.causal),
+    lambda causal, ch: AttnSpec(ch[0], ch[1], causal))
 
 
 def _cdtype(cfg: T5ArchConfig):
@@ -129,9 +150,41 @@ class T5Attention(nn.Module):
                  kv_cache=None):
         c = self.cfg
         inner = c.num_heads * c.d_kv
+        if isinstance(bias, AttnSpec) and kv_cache is None:
+            # fused Pallas path: bias/mask/causal stay separate; probs and
+            # score-shaped grads never touch HBM (ops/t5_attention.py).
+            # Projections go straight to the kernel's flat (H·B, L, D)
+            # layout — the same single transpose as classic split-heads,
+            # so the kernel costs no extra layout traffic.
+            h, dkv = c.num_heads, c.d_kv
+            b, lq = x.shape[0], x.shape[1]
+            lk = kv.shape[1]
+
+            def flat(t, ll):
+                return (t.reshape(b, ll, h, dkv).transpose(2, 0, 1, 3)
+                        .reshape(h * b, ll, dkv))
+
+            qf = flat(self.q(x), lq)
+            kf = flat(self.k(kv), lk)
+            vf = flat(self.v(kv), lk)
+            rate = c.dropout_rate if not deterministic else 0.0
+            dmask = None
+            if rate > 0.0:
+                from genrec_tpu.ops.t5_attention import make_dropout_mask
+                dmask = make_dropout_mask(self.make_rng("dropout"),
+                                          h * b, lq, lk, rate)
+            of = fused_t5_attention_flat(
+                qf, kf, vf, h, bias.pos_bias, bias.kv_mask,
+                causal=bias.causal, dropout_rate=rate, dropout_mask=dmask,
+                interpret=not is_tpu_backend())
+            out = (of.reshape(h, b, lq, dkv).transpose(1, 2, 0, 3)
+                   .reshape(b, lq, inner))
+            return self.o(out)
         qh = self._split_heads(self.q(x))
         kh, vh = kv_cache if kv_cache is not None else self.project_kv(kv)
         b, _, lq, _ = qh.shape
+        if isinstance(bias, AttnSpec):  # unreachable: T5Stack only builds
+            raise ValueError("AttnSpec with kv_cache is unsupported")
         if not deterministic and c.dropout_rate > 0.0:
             # attention-weight dropout (HF T5Attention): explicit-probs XLA
             # path so the dropout mask applies to the softmax weights.
@@ -235,16 +288,38 @@ class T5Stack(nn.Module):
         self.final_norm = RMSNorm(c.layer_norm_epsilon)
         self.drop = nn.Dropout(c.dropout_rate)
 
+    def _fused(self, deterministic: bool) -> bool:
+        mode = getattr(self.cfg, "fused_attention", "auto")
+        if mode == "off":
+            return False
+        if mode == "on":
+            return True
+        # auto: training steps on a TPU backend (eval/generation keep the
+        # XLA path — decode shapes grow per step and dropout is off anyway)
+        return (not deterministic) and is_tpu_backend()
+
     def __call__(self, inputs_embeds, attention_mask=None, enc_out=None,
                  enc_mask=None, *, deterministic: bool = True,
                  cross_kvs=None):
         lq = inputs_embeds.shape[1]
-        self_bias = self.rel_bias(lq, lq)
-        if self.is_decoder:
-            self_bias = self_bias + _causal_bias(lq)
-        if attention_mask is not None:
-            self_bias = self_bias + _extend_mask(attention_mask)
-        cross_mask = _extend_mask(enc_mask) if enc_mask is not None else None
+        if self._fused(deterministic) and cross_kvs is None:
+            pos = self.rel_bias(lq, lq)[0]  # (H, Lq, Lq)
+            if self.is_decoder:
+                # fold the causal mask into the (H, Lq, Lq) bias here — an
+                # XLA-side add of a tiny constant — so the kernel needs no
+                # causal branch (its in-kernel causal lowering hangs this
+                # toolchain's Mosaic; the additive sum is bit-identical)
+                pos = pos + _causal_bias(lq)[0, 0]
+            self_bias = AttnSpec(pos, attention_mask, False)
+            cross_mask = (AttnSpec(None, enc_mask, False)
+                          if enc_out is not None else None)
+        else:
+            self_bias = self.rel_bias(lq, lq)
+            if self.is_decoder:
+                self_bias = self_bias + _causal_bias(lq)
+            if attention_mask is not None:
+                self_bias = self_bias + _extend_mask(attention_mask)
+            cross_mask = _extend_mask(enc_mask) if enc_mask is not None else None
 
         x = self.drop(inputs_embeds, deterministic=deterministic)
         for i, block in enumerate(self.blocks):

@@ -82,13 +82,16 @@ def train(cfg: TIGERConfig,
     # sharded on device — no per-batch host dispatch even under DP.
     # With mesh.model_axis > 1 params additionally get the TP layout
     # (d_ff/attention splits per parallel/sharding.DEFAULT_RULES).
+    train_kw = {"train_data": train_arrays.arrays}
+    if cfg.target_len_buckets > 1:
+        train_kw = {"train_data_buckets": datasets.bucket_by_target_len(
+            train_arrays.arrays, cfg.target_len_buckets, cfg.code_dim)}
     trainer = Trainer(tcfg, init_params=params, loss_fn=loss_fn,
                       eval_loss_fn=val_fn, steps_per_epoch=steps,
                       logger_name="tiger",
                       batch_sharding=_bs, replicate_sharding=_rs,
                       param_shardings=param_shardings(_mesh, params),
-                      train_data=train_arrays.arrays,
-                      val_data=test_arrays.arrays)
+                      val_data=test_arrays.arrays, **train_kw)
     result = trainer.fit()
     return TIGERArtifacts(params=result.best_params, result=result)
 

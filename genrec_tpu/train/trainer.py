@@ -68,6 +68,7 @@ class Trainer:
         replicate_sharding=None,
         param_shardings=None,
         train_data: Optional[Dict[str, np.ndarray]] = None,
+        train_data_buckets: Optional[List[Dict[str, np.ndarray]]] = None,
         val_data: Optional[Dict[str, np.ndarray]] = None,
         extra_data: Optional[Dict[str, np.ndarray]] = None,
     ):
@@ -160,8 +161,20 @@ class Trainer:
 
         self._extra_data = (_put_dataset(extra_data)
                             if extra_data is not None else None)
+        self._train_buckets = None
+        if train_data_buckets is not None:
+            # length-bucketed device-resident training: each bucket is a
+            # full data dict whose padded width matches ITS longest row, so
+            # short-target batches don't pay the corpus-max decoder cost
+            # (the reference collate pads per batch max; static XLA shapes
+            # make per-bucket the TPU-idiomatic equivalent). One scan per
+            # bucket per epoch; jit re-specializes per bucket shape.
+            assert train_data is None, "pass buckets OR a flat dataset"
+            self._train_buckets = [_put_dataset(d) for d in train_data_buckets]
+            train_data = train_data_buckets[0]  # defines the epoch fn below
         if train_data is not None:
-            self._train_data = _put_dataset(train_data)
+            if self._train_buckets is None:
+                self._train_data = _put_dataset(train_data)
 
             def _gather(data, idx, extra):
                 batch = {k: jnp.take(v, jnp.maximum(idx, 0), axis=0)
@@ -321,18 +334,22 @@ class Trainer:
             t0 = time.perf_counter()
             losses, valids = [], []
             n_examples = 0
-            if self._train_data is not None:
-                n = len(next(iter(self._train_data.values())))
-                idx_mat = self._index_matrix(n, cfg.batch_size, shuffle=True,
-                                             seed=cfg.seed + epoch)
-                rng, sub = jax.random.split(rng)
-                n_examples += n
-                self.params, self.opt_state, sl, vl = self._train_epoch_fn(
-                    self.params, self.opt_state, idx_mat, sub,
-                    self._train_data, self._extra_data)
-                self.step += idx_mat.shape[0]
-                losses.append(sl)
-                valids.append(vl)
+            if self._train_data is not None or self._train_buckets:
+                buckets = self._train_buckets or [self._train_data]
+                for bi, data in enumerate(buckets):
+                    n = len(next(iter(data.values())))
+                    # bi=0 single-bucket seed matches the pre-bucketing path
+                    idx_mat = self._index_matrix(
+                        n, cfg.batch_size, shuffle=True,
+                        seed=cfg.seed + epoch + bi * 1000003)
+                    rng, sub = jax.random.split(rng)
+                    n_examples += n
+                    self.params, self.opt_state, sl, vl = self._train_epoch_fn(
+                        self.params, self.opt_state, idx_mat, sub,
+                        data, self._extra_data)
+                    self.step += idx_mat.shape[0]
+                    losses.append(sl)
+                    valids.append(vl)
             else:
                 for batch in train_batches(epoch):
                     rng, sub = jax.random.split(rng)

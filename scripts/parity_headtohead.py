@@ -312,7 +312,7 @@ def run_ref_dense_t5(datadir: str, workdir: str, epochs: int,
         out["eval_seconds"] = time.time() - t0
         print("PARITY_JSON:" + json.dumps(out))
     """)
-    return _run_ref(code, workdir, timeout_s=7200)
+    return _run_ref(code, workdir, timeout_s=12000)
 
 
 def run_ref_tiger(datadir: str, workdir: str, epochs: int,
@@ -350,7 +350,7 @@ def run_ref_tiger(datadir: str, workdir: str, epochs: int,
         out["eval_seconds"] = time.time() - t0
         print("PARITY_JSON:" + json.dumps(out))
     """)
-    return _run_ref(code, workdir, timeout_s=7200)
+    return _run_ref(code, workdir, timeout_s=12000)
 
 
 # ---------------------------------------------------------------------------

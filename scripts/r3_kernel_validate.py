@@ -1,0 +1,199 @@
+"""One-shot on-chip validation + timing of the fused T5 attention kernel.
+
+Runs (in order, printing a flushed line per stage):
+1. compiled fwd parity (causal+bias+augmented-mask) vs XLA reference
+2. compiled bwd parity (all four grads incl. dbias) vs XLA autodiff
+3. in-kernel dropout: determinism (same seed), keep-rate, seed variation
+4. full TIGER train step: fused vs XLA, ms/step + loss trajectory
+
+Writes results to artifacts/t5_attention_validate.json.
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+RES = {}
+
+
+def stage(name):
+    print("STAGE", name, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from genrec_tpu.ops.t5_attention import _bwd_call, _fwd_call
+
+    B, H, Lq, Lk, D = 32, 4, 156, 156, 16
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(size=(B, H, Lq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, H, Lk, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, H, Lk, D)), jnp.float32)
+    bias = jnp.asarray(rng.normal(size=(H, Lq, Lk)), jnp.float32)
+    mask = jnp.asarray((rng.random((B, Lk)) > 0.2).astype(np.int32))
+    seeds = None
+
+    # the model folds the causal mask into the (H, Lq, Lk) bias outside
+    # the kernel (in-kernel causal hangs this toolchain's Mosaic), so the
+    # compiled surface under test is bias+augmented-mask, causal=False
+    row = jnp.arange(Lq)[:, None]
+    col = jnp.arange(Lk)[None, :]
+    bias = bias + jnp.where(col > row, -1e9, 0.0)
+
+    def ref(q, k, v, bias, mask, causal):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        if bias is not None:
+            s = s + bias[None]
+        if mask is not None:
+            s = s + (1.0 - mask[:, None, None, :]) * -1e9
+        return jax.nn.softmax(s, -1) @ v
+
+    stage("fwd")
+    from genrec_tpu.ops.t5_attention import _hbld as _hb, _hbld_inv as _hbi
+    o = _hbi(jax.jit(lambda q, k, v, b, m: _fwd_call(
+        _hb(q), _hb(k), _hb(v), b, m, seeds, H, False, 0.0, 8, False))(
+        q, k, v, bias, mask), B, H)
+    r = ref(q, k, v, bias, mask, False)
+    # visible(row q of batch b) = any unmasked key at or before... with the
+    # causal part folded into bias, a row is degenerate iff EVERY key is
+    # either pad-masked or bias-masked; approximate: causal row i sees keys
+    # <= i, so degenerate iff mask[b, :i+1] all zero.
+    vis = np.asarray(jnp.cumsum(mask, axis=1) > 0)          # (B, Lk)
+    valid_rows = jnp.asarray(vis)[:, None, :, None]          # (B,1,Lq,1)
+    err = jnp.abs(o - r) * valid_rows.astype(jnp.float32)
+    RES["fwd_max_abs_err_nondegenerate"] = float(jnp.max(err))
+    RES["degenerate_rows_frac"] = float(1.0 - np.mean(vis))
+    print("fwd err (non-degenerate rows)",
+          RES["fwd_max_abs_err_nondegenerate"], flush=True)
+
+    stage("bwd")
+    do = q[..., :D] * 0.1
+    outs = jax.jit(lambda q, k, v, b, m, do: _bwd_call(
+        _hb(q), _hb(k), _hb(v), b, m, seeds, _hb(do), H, False, 0.0, 8,
+        False))(q, k, v, bias, mask, do)
+    outs = tuple(_hbi(o_, B, H) for o_ in outs[:3]) + (outs[3],)
+
+    def lr(q, k, v, b):
+        return jnp.sum(ref(q, k, v, b, mask, False) * do)
+
+    gr = jax.grad(lr, (0, 1, 2, 3))(q, k, v, bias)
+    vr = jnp.asarray(vis)[:, None, :, None].astype(jnp.float32)
+    errs = {n: float(jnp.max(jnp.abs(a - b_) * (vr if a.ndim == 4 else 1.0)))
+            for n, a, b_ in zip(["dq", "dk", "dv", "dbias"], outs, gr)}
+    RES["bwd_max_abs_err_nondegenerate"] = errs
+    print("bwd errs (non-degenerate)", errs, flush=True)
+
+    stage("dropout")
+    try:
+        from genrec_tpu.ops.t5_attention import _hbld, make_dropout_mask
+        rate = 0.1
+        dmask_flat = make_dropout_mask(jax.random.PRNGKey(7), H * B, Lq, Lk,
+                                       rate)
+        o1 = jax.jit(lambda qf, kf, vf, dm: _fwd_call(
+            qf, kf, vf, None, None, dm, H, False, rate, 8, False))(
+            _hbld(q), _hbld(k), _hbld(v), dmask_flat)
+        dm_bhqk = dmask_flat.reshape(H, B, Lq, Lk).transpose(1, 0, 2, 3)
+        sc = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        p = jax.nn.softmax(sc, -1) * dm_bhqk.astype(jnp.float32)
+        r1 = _hbld(jnp.einsum("bhqk,bhkd->bhqd", p, v))
+        RES["dropout"] = {
+            "supported": True,
+            "max_abs_err_vs_manual_ref": float(jnp.max(jnp.abs(o1 - r1))),
+        }
+    except Exception as e:
+        RES["dropout"] = {"supported": False,
+                          "error": f"{type(e).__name__}: {e}"[:300]}
+    print("dropout", RES["dropout"], flush=True)
+
+    stage("tiger_step")
+    import optax
+
+    from genrec_tpu.configs import TIGERConfig
+    from genrec_tpu.models.tiger import TIGER
+
+    base_cfg = TIGERConfig()
+    Bt = 256
+    rng = np.random.default_rng(0)
+    seq = base_cfg.max_len * base_cfg.code_dim
+    ii = rng.integers(1, 33, size=(Bt, seq)).astype(np.int32)
+    pad = np.zeros((Bt, seq), np.int32)
+    lens = rng.integers(2, base_cfg.max_len + 1, size=Bt) * base_cfg.code_dim
+    for i, L in enumerate(lens):
+        pad[i, seq - L:] = 1
+    ii *= pad
+    Lt = (2 * base_cfg.max_len - 1) * base_cfg.code_dim
+    lab = rng.integers(1, 33, size=(Bt, Lt)).astype(np.int32)
+    tl = rng.integers(1, 2 * base_cfg.max_len, size=Bt) * base_cfg.code_dim
+    for i, L in enumerate(tl):
+        lab[i, L:] = -100
+    ii = jnp.asarray(ii)
+    am = jnp.asarray((np.asarray(ii) != 0).astype(np.int32))
+    lab = jnp.asarray(lab)
+
+    def timed(mode, dropout, steps=60):
+        cfg = dataclasses.replace(base_cfg, arch=dataclasses.replace(
+            base_cfg.arch, fused_attention=mode))
+        model = TIGER(cfg)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), ii, am, lab)
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+
+        def epoch(params, opt, key, n):
+            def body(carry, _):
+                params, opt, key = carry
+                key, sub = jax.random.split(key)
+
+                def lf(p):
+                    loss, _ = model.apply(p, ii, am, lab,
+                                          deterministic=not dropout,
+                                          rngs={"dropout": sub})
+                    return loss
+
+                loss, g = jax.value_and_grad(lf)(params)
+                u, opt = tx.update(g, opt, params)
+                return (optax.apply_updates(params, u), opt, key), loss
+
+            (params, opt, key), losses = jax.lax.scan(
+                body, (params, opt, key), None, length=n)
+            return params, opt, key, losses
+
+        fit = jax.jit(epoch, static_argnums=(3,), donate_argnums=(0, 1))
+        key = jax.random.key(1, impl="rbg")
+        params, opt, key, losses = fit(params, opt, key, steps)
+        l0 = float(losses[0])
+        t0 = time.perf_counter()
+        params, opt, key, losses = fit(params, opt, key, steps)
+        l1 = float(np.asarray(losses[-1]))
+        dt = time.perf_counter() - t0
+        return {"ms_per_step": 1e3 * dt / steps,
+                "examples_per_sec": Bt * steps / dt,
+                "loss_first": l0, "loss_last": l1}
+
+    for mode, dropout in (("auto", True), ("off", True), ("auto", False),
+                          ("off", False)):
+        key_name = f"tiger_{mode}_drop{int(dropout)}"
+        try:
+            RES[key_name] = timed(mode, dropout)
+        except Exception as e:
+            RES[key_name] = {"error": f"{type(e).__name__}: {e}"[:300]}
+        print(key_name, RES[key_name], flush=True)
+
+    out = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                       "t5_attention_validate.json")
+    RES["device_kind"] = jax.devices()[0].device_kind
+    with open(out, "w") as f:
+        json.dump(RES, f, indent=1)
+    print("WROTE", out, flush=True)
+
+
+if __name__ == "__main__":
+    main()

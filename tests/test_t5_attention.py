@@ -1,0 +1,187 @@
+"""Fused T5 training-attention kernel (ops/t5_attention.py) vs the XLA
+reference composition — values and all four gradients (dq, dk, dv, and
+the learned rel-pos bias's dbias), across every bias/mask/causal
+combination, plus the full-model TIGER integration (fused_attention="on"
+forces the kernel through interpret mode on this CPU suite).
+
+Dropout takes the u8 bit tensor as an INPUT (no in-kernel PRNG), so the
+dropout path is exactly reproducible here too; the compiled-on-chip
+equivalents live in `scripts/r3_kernel_validate.py`
+(artifacts/t5_attention_validate.json).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from genrec_tpu.ops.t5_attention import fused_t5_attention
+
+B, H, LQ, LK, D = 4, 2, 12, 10, 8
+
+
+def _ref(q, k, v, bias, mask, causal):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    if bias is not None:
+        s = s + bias[None]
+    if causal:
+        row = jnp.arange(s.shape[2])[:, None]
+        col = jnp.arange(s.shape[3])[None, :]
+        s = s + jnp.where(col > row + (s.shape[3] - s.shape[2]), -1e9, 0.0)
+    if mask is not None:
+        s = s + (1.0 - mask[:, None, None, :].astype(jnp.float32)) * -1e9
+    return jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), v)
+
+
+@pytest.fixture(scope="module")
+def qkv():
+    r = np.random.default_rng(0)
+    q = jnp.asarray(r.normal(size=(B, H, LQ, D)), jnp.float32)
+    k = jnp.asarray(r.normal(size=(B, H, LK, D)), jnp.float32)
+    v = jnp.asarray(r.normal(size=(B, H, LK, D)), jnp.float32)
+    bias = jnp.asarray(r.normal(size=(H, LQ, LK)), jnp.float32)
+    mask = jnp.asarray((r.random((B, LK)) > 0.2).astype(np.int32))
+    return q, k, v, bias, mask
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("with_bias", [False, True])
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_fused_matches_xla_values_and_grads(qkv, causal, with_bias,
+                                            with_mask):
+    q, k, v, bias, mask = qkv
+    b_ = bias if with_bias else None
+    m_ = mask if with_mask else None
+
+    out = fused_t5_attention(q, k, v, b_, m_, causal=causal, batch_block=2,
+                             interpret=True)
+    ref = _ref(q, k, v, b_, m_, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+    def loss_fused(q, k, v, bb=None):
+        return jnp.sum(jnp.sin(fused_t5_attention(
+            q, k, v, bb, m_, causal=causal, batch_block=2, interpret=True)))
+
+    def loss_ref(q, k, v, bb=None):
+        return jnp.sum(jnp.sin(_ref(q, k, v, bb, m_, causal)))
+
+    if with_bias:
+        g1 = jax.grad(loss_fused, (0, 1, 2, 3))(q, k, v, bias)
+        g2 = jax.grad(loss_ref, (0, 1, 2, 3))(q, k, v, bias)
+    else:
+        g1 = jax.grad(loss_fused, (0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+
+def test_fully_masked_rows_match_xla(qkv):
+    """Padded-out rows (mask all zero) must produce the same (garbage but
+    finite) values as the model's additive-mask XLA path — additive −1e9
+    semantics, not where-replacement."""
+    q, k, v, bias, _ = qkv
+    mask = jnp.zeros((B, LK), jnp.int32).at[1:].set(1)
+    out = fused_t5_attention(q, k, v, bias, mask, causal=False,
+                             batch_block=2, interpret=True)
+    ref = _ref(q, k, v, bias, mask, False)
+    assert bool(jnp.all(jnp.isfinite(out)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_tiger_model_fused_equals_xla():
+    """Full TIGER loss + grads with fused_attention='on' (kernel through
+    interpret mode) vs 'off' (pure XLA) — deterministic, so exact."""
+    from genrec_tpu.configs import TIGERConfig
+    from genrec_tpu.models.tiger import TIGER
+
+    base = TIGERConfig()
+    r = np.random.default_rng(0)
+    bsz = 4
+    seq = base.max_len * base.code_dim
+    ii = jnp.asarray(r.integers(1, 33, size=(bsz, seq)), jnp.int32)
+    am = jnp.asarray((r.random((bsz, seq)) > 0.3).astype(np.int32))
+    lab = jnp.asarray(r.integers(1, 33, size=(bsz, 12)), jnp.int32)
+
+    results = {}
+    for mode in ("off", "on"):
+        cfg = dataclasses.replace(base, arch=dataclasses.replace(
+            base.arch, fused_attention=mode))
+        model = TIGER(cfg)
+        params = model.init(jax.random.PRNGKey(0), ii, am, lab)
+
+        def loss_fn(p):
+            loss, _ = model.apply(p, ii, am, lab, deterministic=True)
+            return loss
+
+        results[mode] = jax.value_and_grad(loss_fn)(params)
+
+    l0, g0 = results["off"]
+    l1, g1 = results["on"]
+    assert abs(float(l0) - float(l1)) < 1e-5
+    diffs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), g0, g1)
+    assert max(jax.tree_util.tree_leaves(diffs)) < 5e-4
+
+
+def test_generation_unaffected_by_fused_flag():
+    """Beam decoding runs deterministic=True on the XLA path regardless of
+    the flag ('auto' gates on training), so generated tokens must match."""
+    from genrec_tpu.configs import TIGERConfig
+    from genrec_tpu.models import tiger as tiger_mod
+    from genrec_tpu.models.tiger import TIGER
+
+    base = TIGERConfig()
+    r = np.random.default_rng(1)
+    bsz = 3
+    seq = base.max_len * base.code_dim
+    ii = jnp.asarray(r.integers(1, 33, size=(bsz, seq)), jnp.int32)
+    am = jnp.ones((bsz, seq), jnp.int32)
+    lab = jnp.asarray(r.integers(1, 33, size=(bsz, 4)), jnp.int32)
+
+    toks = {}
+    for mode in ("off", "auto"):
+        cfg = dataclasses.replace(base, arch=dataclasses.replace(
+            base.arch, fused_attention=mode))
+        model = TIGER(cfg)
+        params = model.init(jax.random.PRNGKey(0), ii, am, lab)
+        t, _ = tiger_mod.generate(model, params, ii, am, num_beams=3,
+                                  constraint=None)
+        toks[mode] = np.asarray(t)
+    np.testing.assert_array_equal(toks["off"], toks["auto"])
+
+
+def test_dropout_matches_manual_reference(qkv):
+    """With the SAME bf16 multiplicative mask the fused dropout path must
+    match a hand-built XLA reference exactly (values and grads)."""
+    from genrec_tpu.ops.t5_attention import make_dropout_mask
+
+    q, k, v, bias, mask = qkv
+    rate = 0.1
+    dmask_flat = make_dropout_mask(jax.random.PRNGKey(7), H * B, LQ, LK,
+                                   rate)
+    # (H*B, Lq, Lk) head-slowest → (B, H, Lq, Lk) for the einsum reference
+    dmask_bhqk = dmask_flat.reshape(H, B, LQ, LK).transpose(1, 0, 2, 3)
+
+    def ref_drop(q, k, v, b_):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) + b_[None]
+        s = s + (1.0 - mask[:, None, None, :].astype(jnp.float32)) * -1e9
+        p = jax.nn.softmax(s, -1)
+        p = p * dmask_bhqk.astype(jnp.float32)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    def fused(q, k, v, b_):
+        return fused_t5_attention(q, k, v, b_, mask, dropout_rate=rate,
+                                  dropout_mask=dmask_flat, batch_block=2,
+                                  interpret=True)
+
+    np.testing.assert_allclose(np.asarray(fused(q, k, v, bias)),
+                               np.asarray(ref_drop(q, k, v, bias)),
+                               atol=2e-6)
+    g1 = jax.grad(lambda *a: jnp.sum(jnp.sin(fused(*a))), (0, 1, 2, 3))(
+        q, k, v, bias)
+    g2 = jax.grad(lambda *a: jnp.sum(jnp.sin(ref_drop(*a))), (0, 1, 2, 3))(
+        q, k, v, bias)
+    for a, b_ in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)

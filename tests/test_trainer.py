@@ -82,3 +82,44 @@ def test_nan_loss_aborts(tmp_path):
                  train_data=data, val_data=data)
     with pytest.raises(ValueError, match="diverged"):
         tr.fit()
+
+
+def test_bucketed_training_matches_flat(tmp_path):
+    """train_data_buckets: one scan per bucket per epoch; converges like
+    the flat path and counts every example exactly once per epoch."""
+    data, params, loss_fn = _linear_regression_setup()
+    cfg = TrainerConfig(epochs=20, batch_size=64, lr=0.1,
+                        ckpt_dir=str(tmp_path / "b"), early_stop_patience=50)
+    buckets = [{k: v[:100] for k, v in data.items()},
+               {k: v[100:] for k, v in data.items()}]
+    tr = Trainer(cfg, init_params=params, loss_fn=loss_fn, steps_per_epoch=4,
+                 train_data_buckets=buckets, val_data=data)
+    result = tr.fit()
+    assert result.train_losses[-1] < 0.05
+    assert result.val_losses[-1] < 0.05
+
+
+def test_bucket_by_target_len_partition():
+    from genrec_tpu.data.datasets import bucket_by_target_len
+    rng = np.random.default_rng(0)
+    n, w, cd = 200, 40, 4
+    labels = np.full((n, w), -100, np.int32)
+    lens = rng.integers(1, w // cd + 1, size=n) * cd
+    for i, L in enumerate(lens):
+        labels[i, :L] = 7
+    arrays = {"labels": labels, "x": np.arange(n, dtype=np.int32)}
+    buckets = bucket_by_target_len(arrays, 4, cd)
+    # every row lands in exactly one bucket, widths cover each row's length
+    seen = np.concatenate([b["x"] for b in buckets])
+    assert sorted(seen.tolist()) == list(range(n))
+    for b in buckets:
+        bl = (b["labels"] != -100).sum(1)
+        assert b["labels"].shape[1] % cd == 0
+        assert bl.max() <= b["labels"].shape[1]
+        # no truncation: padded width of this bucket fits its longest row
+        orig = (labels[np.isin(np.arange(n), b["x"])] != -100).sum(1)
+        assert (np.sort(bl) == np.sort(orig)).all()
+    # widths strictly increase and the last covers the global max
+    widths = [b["labels"].shape[1] for b in buckets]
+    assert widths == sorted(set(widths))
+    assert widths[-1] >= lens.max()
