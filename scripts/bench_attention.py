@@ -112,7 +112,7 @@ def bench_one(B, H, L, D, causal, dtype_name, steps=30):
     }
 
 
-def bench_long_seq_train_step(steps=20):
+def bench_long_seq_train_step(steps=200):
     """One REAL training config through the compiled kernel, fwd+bwd: a
     long-history SASRecLarge (max_len 512 crosses the `_use_pallas` gate at
     L=512) takes sampled-BCE Adam steps on chip. Asserts the Pallas kernel
@@ -173,9 +173,25 @@ def main():
         os.path.dirname(__file__), "..", "artifacts",
         "attention_microbench.json"))
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--long-seq-only", action="store_true",
+                    help="re-run only the long-seq train-step check and "
+                         "patch it into an existing artifact (the 20-step "
+                         "r3 run showed Adam's warmup bump, not descent; "
+                         "200 fixed-batch steps must overfit)")
     args = ap.parse_args()
 
     import jax
+
+    if args.long_seq_only:
+        train = bench_long_seq_train_step()
+        print(json.dumps(train), flush=True)
+        with open(args.out) as f:
+            out = json.load(f)
+        out["long_seq_train_step"] = train
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+        print(f"patched {args.out}")
+        return
 
     shapes = [
         # (B, H, L, D, causal)

@@ -84,7 +84,12 @@ def main() -> None:
         "same H5 contract files, same hyperparameters (the reference "
         "`main.py` param dicts), same protocol (best-val checkpoint, "
         "early-stop patience 10; SASRec 60 epochs, TIGER 25-30, "
-        "TIGER-prefix 25, RQ-VAE 100, DenseT5 15 both sides). The "
+        "TIGER-prefix 25, RQ-VAE 100; DenseT5 compares at a ~9-epoch budget "
+        "BOTH sides — the reference's 19.6M-param torch-CPU run costs "
+        "~10 min/epoch on this 2-core host, its corpus-0 run completed 9 "
+        "full epochs before the harness subprocess timeout, and the "
+        "tpu side was re-run at 9 epochs to match; best-val "
+        "checkpointing applies within the budget on both sides). The "
         "reference side runs the *actual* `/root/reference` code on torch "
         "CPU; the genrec-tpu side runs its pipelines on one TPU chip. "
         "TIGER/prefix decode UNCONSTRAINED on both sides (trie-constrained "
@@ -153,7 +158,11 @@ def main() -> None:
             f"TIGER end-to-end pipeline training throughput (steady-state, "
             f"excl. jit-compile epoch, mean of {len(tt)} runs): "
             f"**{steady:,.0f} ex/s** on one chip vs the reference GPU's "
-            "3.1K (BASELINE.md); see bench.py for the scan-epoch headline.\n")
+            "3.1K (BASELINE.md). With length-bucketed epochs "
+            "(`TIGERConfig.target_len_buckets=4` — quality-neutral, "
+            "Recall@10 0.446 inside the flat band, "
+            "`artifacts/bucket_quality_r3.json`) the bench-measured train "
+            "rate is **37.9K ex/s** (bench.py headline, 12.2× baseline).\n")
     md.append("Merged artifacts: " + ", ".join(
         f"`{os.path.relpath(p, REPO)}`" for p in paths
         if os.path.exists(p)) + ". Harness: `scripts/parity_headtohead.py`; "
