@@ -11,16 +11,28 @@ throughput on this workload: ≈12 it/s × 256 ≈ 3.1K ex/s on a GTX 1080 Ti
 Methodology (round 3): every benchmark runs the way the production
 Trainer actually runs — DEVICE-RESIDENT. The dataset is uploaded once and
 a whole epoch executes as ONE jitted ``lax.scan`` over a shuffled index
-matrix (mirrors `genrec_tpu/train/trainer.py` train_epoch), so the number
-measured is the machine's step rate, not per-step Python dispatch over a
-network-attached PJRT client (which round-2 measurements showed costs
-~4.5× at these model sizes: 19.3K ex/s dispatch-stepped vs 86K ex/s
-scan-stepped for the identical train step, `artifacts/scaling_r2_tpu.json`).
-Timing brackets whole-epoch calls and closes with a VALUE fetch (not just
+matrix (mirrors `genrec_tpu/train/trainer.py` train_epoch). Timing
+brackets whole-epoch calls and closes with a VALUE fetch (not just
 block_until_ready, which a remote-PJRT client can satisfy early). Each
-scan iteration gathers a fresh batch from the uploaded dataset and takes a
-real optimizer step — nothing is amortized away except host dispatch,
-which the real pipelines also amortize away.
+scan iteration gathers a fresh batch from the uploaded dataset and takes
+a real optimizer step.
+
+Two round-3 findings shaped this measurement:
+- Scan-stepping alone is worth only ~5% here — JAX's async dispatch
+  already pipelines a per-step Python loop when values are fetched only
+  at the end, so round 2's 19.3K ex/s was NOT dispatch-bound. (The 86K
+  ex/s row in `artifacts/scaling_r2_tpu.json` that suggested a 4.5×
+  dispatch tax was a much lighter workload: 4-token decoder labels vs
+  this bench's honest 156-token teacher-forcing targets.)
+- The real cost is decoder PADDING: an xprof device profile
+  (`scripts/profile_tiger_step.py`) shows the step dominated by
+  score-shaped work that scales superlinearly in padded target length
+  (13.1 ms at 156 padded tokens vs 4.7 ms at 80). The fix is
+  length-bucketed epochs (`datasets.bucket_by_target_len` +
+  `Trainer(train_data_buckets=...)`): pad each bucket to ITS max, the
+  static-shape equivalent of the reference collate's pad-to-batch-max.
+  Quality-neutral (Recall@10 0.446, inside the flat-path parity band;
+  `artifacts/bucket_quality_r3.json`).
 
 Alongside ex/s we report FLOPs-based MFU so "fast for a tiny model" is
 quantified: FLOPs come from XLA's own cost model for the compiled epoch

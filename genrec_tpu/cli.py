@@ -83,6 +83,7 @@ def _tiger(args):
                           "train_dataset_path": "tiger/train_dataset.h5",
                           "test_dataset_path": "tiger/test_dataset.h5"})
     cfg = dataclasses.replace(cfg, constrained_decoding=args.constrained,
+                              target_len_buckets=args.len_buckets,
                               trainer=dataclasses.replace(
                                   cfg.trainer,
                                   epochs=args.epochs or cfg.trainer.epochs,
@@ -204,6 +205,12 @@ def main(argv=None):
         if name in ("tiger", "tiger-prefix"):
             sp.add_argument("--constrained", default="level",
                             choices=["none", "level", "trie"])
+        if name == "tiger":
+            sp.add_argument("--len-buckets", type=int, default=1,
+                            help="partition training by target length into "
+                                 "N static-shape buckets (quality-neutral "
+                                 "throughput: ~2x at 4 buckets — see "
+                                 "bench.py docstring)")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("etl-app-db", help="SQLite app DB → H5 contracts")
