@@ -146,13 +146,15 @@ class T5ArchConfig:
     # fused Pallas training attention (ops/t5_attention.py): "auto" uses it
     # for training steps on TPU backends, "on" forces it everywhere incl.
     # CPU interpret mode (tests), "off" keeps the explicit XLA composition.
-    # Default off: at the parity shape (d_model 64, H4/D16, L≤156) the
-    # compiled kernel is numerically exact but perf-NEUTRAL without
-    # dropout (11.59 vs 11.55 ms/step) and loses with it (15.9 vs 12.9 —
-    # the XLA-side bf16 mask traffic outweighs the fused-probs saving;
-    # the step is VPU-elementwise-bound, not HBM-bound, at this size).
-    # Measured: artifacts/t5_attention_validate.json. Enable for larger
-    # d_model/head-count configs where probs materialization dominates.
+    # Default off: compiled-on-chip exact everywhere, but the perf story
+    # is shape-dependent (artifacts/t5_attention_validate.json): at the
+    # parity shape (d64/H4) it is NEUTRAL without dropout (11.59 vs
+    # 11.55 ms/step); at d256/H8 it WINS 8% without dropout (6.52 vs
+    # 7.07); every dropout variant loses (e.g. 15.9 vs 12.9 at parity) —
+    # the XLA-side bf16 dropout-mask generation outweighs the
+    # fused-probs saving (this toolchain's Mosaic has no in-kernel PRNG
+    # lowering). Rule: enable for dropout-free training at d_model ≥
+    # ~256 / many heads; keep XLA otherwise.
     fused_attention: str = "off"
     dtype: str = "float32"  # computation dtype: float32 | bfloat16 (params
     # stay float32; norms/softmax/logits accumulate in float32 either way)

@@ -159,10 +159,12 @@ def main() -> None:
             f"excl. jit-compile epoch, mean of {len(tt)} runs): "
             f"**{steady:,.0f} ex/s** on one chip vs the reference GPU's "
             "3.1K (BASELINE.md). With length-bucketed epochs "
-            "(`TIGERConfig.target_len_buckets=4` — quality-neutral, "
-            "Recall@10 0.446 inside the flat band, "
-            "`artifacts/bucket_quality_r3.json`) the bench-measured train "
-            "rate is **37.9K ex/s** (bench.py headline, 12.2× baseline).\n")
+            "(`TIGERConfig.target_len_buckets=4`) the bench-measured "
+            "train rate is **37.9K ex/s** (bench.py headline, 12.2× "
+            "baseline); bucketed quality lands within 1–2% of the "
+            "same-corpus flat means (inside the ±3% seed spread; "
+            "`artifacts/bucket_quality_r3*.json`) and parity runs keep "
+            "buckets off.\n")
     md.append("Merged artifacts: " + ", ".join(
         f"`{os.path.relpath(p, REPO)}`" for p in paths
         if os.path.exists(p)) + ". Harness: `scripts/parity_headtohead.py`; "
