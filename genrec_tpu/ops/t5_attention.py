@@ -12,10 +12,11 @@ the long-sequence blockwise/online-softmax design (`ops/attention.py`,
 which stays the right shape for L ≥ 512) this kernel:
 
 - computes logits = q·kᵀ (unscaled — T5 convention, `RQVAE-T5/model.py`
-  via HF T5Attention), adds the learned relative-position bias and the
-  causal mask, softmaxes, applies attention dropout, and hits v — all in
-  VMEM; only q, k, v, out and (when training) a compact uint8 dropout
-  mask ever touch HBM;
+  via HF T5Attention), adds the learned relative-position bias (with the
+  causal mask pre-folded into it XLA-side — in-kernel causal `where`
+  hangs this toolchain's Mosaic), softmaxes, applies attention dropout,
+  and hits v — all in VMEM; only q, k, v, out and (when training) a
+  bf16 dropout mask ever touch HBM;
 - folds the key-padding mask into the score matmul itself: q and k are
   augmented with one extra feature column (q_aug[..., D] = 1,
   k_aug[..., D] = (1 − mask)·(−1e9)), so q_aug·k_augᵀ = q·kᵀ + additive
@@ -24,12 +25,13 @@ which stays the right shape for L ≥ 512) this kernel:
   middle-dim (bb, 1, Lk) → (bb, Lq, Lk) broadcast SIGABRTs this
   toolchain's Mosaic lowering;
 - recomputes the probabilities in the backward kernel (scores are cheap,
-  the MXU is idle at these sizes) and re-reads the same uint8 dropout
-  mask, so no probability tensor is ever stored. (In-kernel Mosaic PRNG
-  would avoid storing even the mask, but `prng_seed`/`prng_random_bits`
-  have no lowering in this toolchain's remote compile helper — the u8
-  mask is 4× smaller than the XLA path's u32 bits and needs none of its
-  layout-fixing copies.);
+  the MXU is idle at these sizes) and re-reads the same bf16
+  multiplicative dropout mask, so no probability tensor is ever stored.
+  (In-kernel Mosaic PRNG would avoid storing even the mask, but
+  `prng_seed`/`prng_random_bits` have no lowering in this toolchain's
+  remote compile helper, and u8 compares don't lower either — hence a
+  {0, 1/keep} bf16 mask the kernel just multiplies, half the size of the
+  XLA path's u32 bits with none of its layout-fixing copies.);
 - accumulates dbias (the learned rel-pos table's gradient) across the
   batch grid in VMEM, emitting one (H, Lq, Lk) tensor.
 
@@ -40,13 +42,12 @@ index across the inner loop, so it is fetched from HBM once per head.
 
 Numerical semantics match `genrec_tpu/models/t5.py` T5Attention's
 explicit-probs training path exactly (f32 logits/softmax, ADDITIVE −1e9
-masks, probs cast to v.dtype for the value matmul) except dropout: the
-keep decision is `u8_bits < round((1-rate)·256)`, i.e. the rate is
-quantized to 1/256 (0.1 → 0.1016); the inverse scale uses the REALIZED
-keep probability so the dropout estimator stays unbiased. Flax
-`nn.Dropout` draws a different bit stream anyway — same Bernoulli
-family, different stream, the usual freedom taken by fused-dropout
-kernels.
+masks, probs cast to v.dtype for the value matmul) except dropout's bit
+stream: flax `nn.Dropout` draws threefry bits, :func:`make_dropout_mask`
+draws its own — same Bernoulli(1-rate) family, different stream, the
+usual freedom taken by fused-dropout kernels. Perf status and the
+shape-dependent enablement rule live on `T5ArchConfig.fused_attention`
+(measured: artifacts/t5_attention_validate.json).
 """
 
 from __future__ import annotations

@@ -1,10 +1,14 @@
 """One-shot on-chip validation + timing of the fused T5 attention kernel.
 
 Runs (in order, printing a flushed line per stage):
-1. compiled fwd parity (causal+bias+augmented-mask) vs XLA reference
+1. compiled fwd parity (bias-with-folded-causal + augmented mask) vs XLA,
+   max error over NON-degenerate rows (fully-masked rows produce
+   loss-masked garbage that legitimately differs between the
+   augmented-column and additive-bias paths)
 2. compiled bwd parity (all four grads incl. dbias) vs XLA autodiff
-3. in-kernel dropout: determinism (same seed), keep-rate, seed variation
+3. bf16 multiplicative dropout mask: exact vs a manual reference
 4. full TIGER train step: fused vs XLA, ms/step + loss trajectory
+   (scripts/exp_fused_large.py appends the scaled-shape sweep)
 
 Writes results to artifacts/t5_attention_validate.json.
 """
