@@ -45,7 +45,16 @@ def bench_tiger_dp(mesh, batch_per_device: int = 256, steps: int = 30):
     rng = np.random.default_rng(0)
     ii = jnp.asarray(rng.integers(1, 33, size=(B, seq)), jnp.int32)
     am = jnp.ones((B, seq), jnp.int32)
-    lab = jnp.asarray(rng.integers(1, 33, size=(B, cfg.code_dim)), jnp.int32)
+    # HONEST teacher-forcing targets (up to 2*max_len-1 items, -100
+    # padded). The r2 artifact used code_dim-token labels here, which made
+    # its 86K ex/s row look 4.5x faster than bench.py's — it was a
+    # different (much lighter) workload, not a dispatch gap.
+    tgt_items = 2 * cfg.max_len - 1
+    lab_np = rng.integers(1, 33, size=(B, tgt_items * cfg.code_dim)).astype(np.int32)
+    tgt_lens = rng.integers(1, tgt_items + 1, size=B) * cfg.code_dim
+    for i, L in enumerate(tgt_lens):
+        lab_np[i, L:] = -100
+    lab = jnp.asarray(lab_np)
 
     params = model.init(jax.random.PRNGKey(0), ii, am, lab)
     params = shard_params(params, mesh, DEFAULT_RULES)
