@@ -488,11 +488,24 @@ ROUTES: List[Tuple[str, str, Handler]] = [
 ]
 
 
+# groups the reference mounts under BOTH /api/v1 and a blanket legacy /api
+# prefix (`backend/app/main.py:48-51` includes api_router twice). The
+# file-upload router and the repo's live recommend/courses routes are
+# /api/v1-only, matching `main.py:53-55`.
+_LEGACY_GROUPS = ("chat", "text-organization", "ppt", "homework",
+                  "learning-path", "lesson-plan")
+
+
 def match_route(method: str, path: str
                 ) -> Optional[Tuple[Handler, Dict[str, str]]]:
     """Match a concrete path against the template table. Static segments
-    must equal; `{name}` segments capture."""
+    must equal; `{name}` segments capture. Legacy `/api/<group>/...` paths
+    resolve to their `/api/v1` route for the groups the reference
+    double-mounts."""
     parts = [s for s in path.split("/") if s != ""]
+    if (len(parts) >= 2 and parts[0] == "api" and parts[1] != "v1"
+            and parts[1] in _LEGACY_GROUPS):
+        parts = ["api", "v1"] + parts[1:]
     for m, template, handler in ROUTES:
         if m != method:
             continue

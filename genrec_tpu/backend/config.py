@@ -42,6 +42,9 @@ class Settings:
     llm_base_url: Optional[str] = None
     llm_model: str = "env-configured"
     log_level: str = "INFO"
+    # production frontend bundle; served under /static when the directory
+    # exists (reference: `backend/app/main.py:88-91` StaticFiles mount)
+    static_dir: str = "../frontend/dist"
 
     @classmethod
     def from_env(cls, env_file: str = ".env") -> "Settings":
@@ -57,6 +60,7 @@ class Settings:
             llm_base_url=env.get("GENREC_LLM_BASE_URL"),
             llm_model=env.get("GENREC_LLM_MODEL", cls.llm_model),
             log_level=env.get("LOG_LEVEL", cls.log_level),
+            static_dir=env.get("STATIC_DIR", cls.static_dir),
         )
         if cors:
             kw["cors_origins"] = [o.strip() for o in cors.split(",") if o.strip()]

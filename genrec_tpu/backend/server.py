@@ -91,7 +91,36 @@ class _Handler(BaseHTTPRequestHandler):
         self._respond(status, payload)
 
     def do_GET(self):
+        if self.path.startswith("/static/") and self._serve_static():
+            return
         self._handle("GET")
+
+    def _serve_static(self) -> bool:
+        """Serve a file from settings.static_dir (reference mounts the
+        production frontend bundle at /static, `backend/app/main.py:88-91`).
+        Returns False when the mount is absent so the JSON 404 envelope
+        applies, like any unmatched route."""
+        import mimetypes
+        import os
+        root = os.path.abspath(self.server.ctx.settings.static_dir)
+        if not os.path.isdir(root):
+            return False
+        rel = urlsplit(self.path).path[len("/static/"):]
+        target = os.path.abspath(os.path.join(root, rel))
+        # refuse path traversal out of the mount
+        if not (target == root or target.startswith(root + os.sep)) \
+                or not os.path.isfile(target):
+            self._respond(404, error_response(f"GET {self.path} not found"))
+            return True
+        ctype = mimetypes.guess_type(target)[0] or "application/octet-stream"
+        with open(target, "rb") as f:
+            raw = f.read()
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(raw)))
+        self.end_headers()
+        self.wfile.write(raw)
+        return True
 
     def do_POST(self):
         self._handle("POST")
@@ -140,6 +169,13 @@ def create_fastapi_app(ctx: Optional[AppContext] = None):
     app.add_middleware(CORSMiddleware,
                        allow_origins=ctx.settings.cors_origins,
                        allow_methods=["*"], allow_headers=["*"])
+
+    # production frontend bundle (reference `backend/app/main.py:88-91`)
+    import os
+    if os.path.isdir(ctx.settings.static_dir):
+        from fastapi.staticfiles import StaticFiles
+        app.mount("/static", StaticFiles(directory=ctx.settings.static_dir),
+                  name="static")
 
     @app.api_route("/{full_path:path}",
                    methods=["GET", "POST", "PUT", "DELETE"])

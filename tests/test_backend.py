@@ -370,3 +370,61 @@ def test_fastapi_adapter_parity():
     assert client.get("/health").json()["status"] == "healthy"
     assert client.post("/api/v1/ppt/create",
                        json={"title": "t", "topic": "x"}).status_code == 200
+
+
+def test_legacy_api_prefix():
+    """Reference mounts api_router under /api/v1 AND /api
+    (`backend/app/main.py:48-51`); file-upload (and the repo's live
+    recommend routes) stay /api/v1-only (`main.py:53-55`)."""
+    assert match_route("GET", "/api/chat/suggestions") is not None
+    assert match_route("POST", "/api/chat/") is not None
+    assert match_route("GET", "/api/ppt/templates") is not None
+    assert match_route("GET", "/api/homework/list") is not None
+    assert match_route("GET", "/api/learning-path/paths") is not None
+    assert match_route("GET", "/api/lesson-plan/templates") is not None
+    assert match_route("GET", "/api/text-organization/stats") is not None
+    # v1-only groups must NOT alias
+    assert match_route("POST", "/api/files/upload/pdf") is None
+    assert match_route("POST", "/api/recommend") is None
+    # and legacy rewriting must not shadow the health/root routes
+    assert match_route("GET", "/api/v1/chat/suggestions") is not None
+
+
+def test_legacy_prefix_over_http(server):
+    status, sugg = _call(server, "GET", "/api/chat/suggestions")
+    assert status == 200
+    assert sugg == _call(server, "GET", "/api/v1/chat/suggestions")[1]
+
+
+def test_static_mount(tmp_path):
+    import threading
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "index.html").write_text("<html>frontend</html>")
+    (tmp_path / "sub" / "app.js").write_text("console.log(1)")
+    db = Database(":memory:")
+    db.create_all()
+    ctx = AppContext(settings=Settings(static_dir=str(tmp_path)), db=db,
+                     ai=AIService(llm=None),
+                     textorg=TextOrganizationService(db))
+    srv = BackendHTTPServer(ctx, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        port = srv.server_address[1]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/static/index.html", timeout=10) as r:
+            assert r.status == 200 and b"frontend" in r.read()
+            assert "text/html" in r.headers["Content-Type"]
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/static/sub/app.js", timeout=10) as r:
+            assert r.status == 200
+        # missing file and traversal out of the mount both 404
+        for bad in ("/static/nope.css", "/static/../test_backend.py"):
+            try:
+                urllib.request.urlopen(f"http://127.0.0.1:{port}{bad}",
+                                       timeout=10)
+                raised = False
+            except urllib.error.HTTPError as e:
+                raised = e.code == 404
+            assert raised, bad
+    finally:
+        srv.shutdown()
