@@ -88,6 +88,13 @@ class Trainer:
         # persistent XLA compile cache: the whole-epoch scan / beam programs
         # cost 100s+ to compile; repeat runs (parity sweeps, benches) hit it
         enable_compilation_cache()
+        if train_data_buckets is not None:
+            # schedules must count the real optimizer steps: a bucketed epoch
+            # runs sum(ceil(n_b/B)) steps, which exceeds the flat ceil(N/B)
+            # the caller would pass (each bucket pads its own tail batch)
+            steps_per_epoch = sum(
+                -(-len(next(iter(d.values()))) // cfg.batch_size)
+                for d in train_data_buckets)
         self.tx = make_optimizer(cfg, steps_per_epoch)
         # defensive copy: the jitted step donates params, which would
         # otherwise consume the caller's arrays
@@ -336,7 +343,15 @@ class Trainer:
             n_examples = 0
             if self._train_data is not None or self._train_buckets:
                 buckets = self._train_buckets or [self._train_data]
-                for bi, data in enumerate(buckets):
+                order = list(range(len(buckets)))
+                if len(order) > 1:
+                    # visit buckets in a per-epoch seeded random order: the
+                    # fixed ascending-width order is a short→long curriculum
+                    # the reference's global shuffle doesn't have
+                    np.random.default_rng(
+                        cfg.seed * 7919 + epoch).shuffle(order)
+                for bi in order:
+                    data = buckets[bi]
                     n = len(next(iter(data.values())))
                     # bi=0 single-bucket seed matches the pre-bucketing path
                     idx_mat = self._index_matrix(
