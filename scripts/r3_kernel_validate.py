@@ -75,9 +75,16 @@ def main():
     valid_rows = jnp.asarray(vis)[:, None, :, None]          # (B,1,Lq,1)
     err = jnp.abs(o - r) * valid_rows.astype(jnp.float32)
     RES["fwd_max_abs_err_nondegenerate"] = float(jnp.max(err))
+    # relative scale: max-abs errors alone are uninterpretable (VERDICT r3
+    # weak #7) — report ‖err‖∞/‖ref‖∞ and the Frobenius-norm ratio too
+    RES["fwd_rel_err_inf"] = float(jnp.max(err) / jnp.max(jnp.abs(r)))
+    RES["fwd_rel_err_fro"] = float(
+        jnp.linalg.norm(err.ravel()) / jnp.linalg.norm(
+            (r * valid_rows.astype(jnp.float32)).ravel()))
     RES["degenerate_rows_frac"] = float(1.0 - np.mean(vis))
     print("fwd err (non-degenerate rows)",
-          RES["fwd_max_abs_err_nondegenerate"], flush=True)
+          RES["fwd_max_abs_err_nondegenerate"],
+          "rel_inf", RES["fwd_rel_err_inf"], flush=True)
 
     stage("bwd")
     do = q[..., :D] * 0.1
@@ -91,10 +98,21 @@ def main():
 
     gr = jax.grad(lr, (0, 1, 2, 3))(q, k, v, bias)
     vr = jnp.asarray(vis)[:, None, :, None].astype(jnp.float32)
-    errs = {n: float(jnp.max(jnp.abs(a - b_) * (vr if a.ndim == 4 else 1.0)))
-            for n, a, b_ in zip(["dq", "dk", "dv", "dbias"], outs, gr)}
+    errs, rels, fros = {}, {}, {}
+    for n, a, b_ in zip(["dq", "dk", "dv", "dbias"], outs, gr):
+        w = vr if a.ndim == 4 else 1.0
+        e = jnp.abs(a - b_) * w
+        errs[n] = float(jnp.max(e))
+        # dbias is a batch-summed gradient — its absolute magnitude grows
+        # with B, so only ‖err‖/‖grad‖ is comparable across shapes
+        rels[n] = float(jnp.max(e) / jnp.max(jnp.abs(b_ * w)))
+        fros[n] = float(jnp.linalg.norm(e.ravel())
+                        / jnp.linalg.norm((b_ * w).ravel()))
     RES["bwd_max_abs_err_nondegenerate"] = errs
+    RES["bwd_rel_err_inf"] = rels
+    RES["bwd_rel_err_fro"] = fros
     print("bwd errs (non-degenerate)", errs, flush=True)
+    print("bwd rel errs inf", rels, "fro", fros, flush=True)
 
     stage("dropout")
     try:
