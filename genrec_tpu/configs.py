@@ -144,17 +144,22 @@ class T5ArchConfig:
     decoder_start_token_id: int = 0  # = pad (RQVAE-T5/model.py:22)
     tie_word_embeddings: bool = True
     # fused Pallas training attention (ops/t5_attention.py): "auto" uses it
-    # for training steps on TPU backends, "on" forces it everywhere incl.
-    # CPU interpret mode (tests), "off" keeps the explicit XLA composition.
-    # Default off: compiled-on-chip exact everywhere, but the perf story
-    # is shape-dependent (artifacts/t5_attention_validate.json): at the
-    # parity shape (d64/H4) it is NEUTRAL without dropout (11.59 vs
-    # 11.55 ms/step); at d256/H8 it WINS 8% without dropout (6.52 vs
-    # 7.07); every dropout variant loses (e.g. 15.9 vs 12.9 at parity) —
-    # the XLA-side bf16 dropout-mask generation outweighs the
-    # fused-probs saving (this toolchain's Mosaic has no in-kernel PRNG
-    # lowering). Rule: enable for dropout-free training at d_model ≥
-    # ~256 / many heads; keep XLA otherwise.
+    # for DROPOUT-FREE training steps on TPU backends (the gate in
+    # models/t5.py `_fused` enforces dropout_rate == 0), "on" forces it
+    # everywhere incl. CPU interpret mode (tests), "off" keeps the explicit
+    # XLA composition. Default off: compiled-on-chip exact everywhere, but
+    # the perf story is shape-dependent
+    # (artifacts/t5_attention_validate.json): at the parity shape (d64/H4)
+    # it is NEUTRAL without dropout (11.59 vs 11.55 ms/step); at d256/H8 it
+    # WINS 8% without dropout (6.52 vs 7.07). RETIRED for dropout configs
+    # (2026-08-21): every measured mask-generation variant loses to XLA's
+    # inline dropout — bernoulli-on-rbg 15.9, u8-compare 16.2,
+    # threefry-converted 17.6 vs XLA 12.9 ms/step at parity
+    # (artifacts/dropout_mask_exp_r4.json) — because this toolchain's
+    # Mosaic has no in-kernel PRNG lowering, the mask must be materialized
+    # in HBM, and even a zero-cost mask would only tie XLA. Rule: enable
+    # for dropout-free training at d_model ≥ ~256 / many heads; "auto" now
+    # implements exactly that.
     fused_attention: str = "off"
     dtype: str = "float32"  # computation dtype: float32 | bfloat16 (params
     # stay float32; norms/softmax/logits accumulate in float32 either way)
@@ -228,7 +233,21 @@ class TIGERPrefixConfig:
 
 @dataclasses.dataclass(frozen=True)
 class DenseT5Config:
-    """Dense-retrieval T5 encoder. Mirrors `T5/main.py:5-38`."""
+    """Dense-retrieval T5 encoder. Mirrors `T5/main.py:5-38`.
+
+    num_layers=6, NOT the param dict's 2: the reference's model builder
+    (`T5/model.py:9-16`) constructs ``T5Config(d_model, d_ff, num_heads,
+    d_kv, dropout_rate)`` and never forwards ``params['num_layers']``, so
+    the HF default ``num_layers=6`` silently applies — the model the
+    reference actually trains is 6-layer (its own log reports 19,603,328
+    params = 16,449,536 dead default 32128-vocab embedding + 3,153,792
+    non-embedding; 6 blocks at d512/d_ff256/H4/d_kv16 = 2.37M plus the
+    768↔512 in/out projections 0.79M reproduces that exactly, while 2
+    blocks would give ~1.58M + 0.79M). We default to the
+    reference's *effective* architecture so head-to-heads are
+    like-for-like; the param dict's stated intent (2 layers) is available
+    by overriding ``arch``.
+    """
 
     task_id: str = "task1"
     rec_path: str = "data/user_item_interact.h5"
@@ -236,7 +255,7 @@ class DenseT5Config:
     user_emb_h5_path: str = "data/user_profile_embs.h5"
     arch: T5ArchConfig = dataclasses.field(
         default_factory=lambda: T5ArchConfig(
-            d_model=512, num_layers=2, num_heads=4, d_kv=16, d_ff=256,
+            d_model=512, num_layers=6, num_heads=4, d_kv=16, d_ff=256,
             dropout_rate=0.3,
         )
     )
@@ -287,10 +306,30 @@ class SASRecLargeConfig:
     num_neg_samples: int = 64
     loss_eps: float = 1e-24
     topk_list: Tuple[int, ...] = (10, 100)
+    # long-context: name of the mesh axis the sequence dimension is sharded
+    # over; attention then runs as an exact ppermute ring
+    # (`models/sasrec_large.py` ``ctx_axis`` / `ops/ring_attention.py`).
+    # None = single-chip attention (the flash kernel takes over at L≥512
+    # via the `ops/attention._use_pallas` gate).
+    context_parallel_axis: Optional[str] = None
     embedding: ShardedEmbeddingConfig = dataclasses.field(
         default_factory=ShardedEmbeddingConfig)
     trainer: TrainerConfig = dataclasses.field(
         default_factory=lambda: TrainerConfig(batch_size=4096, lr=1e-3))
+
+
+def long_context_sasrec_config(max_len: int = 2048,
+                               dim: int = 64) -> SASRecLargeConfig:
+    """The runnable context-parallel configuration (SURVEY §2.5 SP/CP row):
+    2048-item histories train with the sequence axis sharded over a 'ctx'
+    mesh axis (ring attention across devices) or, single-chip, through the
+    blockwise flash kernel. Exercised by `tests/test_long_context.py` and
+    `scripts/r4_ring_config.py` (artifacts/ring_cp_r4.json)."""
+    return SASRecLargeConfig(
+        max_len=max_len, num_blocks=2, num_heads=4, mlp_layer=4 * dim,
+        dropout=0.2, num_neg_samples=64, context_parallel_axis="ctx",
+        embedding=ShardedEmbeddingConfig(vocab_size=65536, dim=dim),
+        trainer=TrainerConfig(batch_size=32, lr=1e-3))
     mesh: MeshConfig = dataclasses.field(
         default_factory=lambda: MeshConfig(data_axis=-1, model_axis=2))
 

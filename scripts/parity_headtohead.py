@@ -93,7 +93,10 @@ def _run_ref(code: str, cwd: str, timeout_s: int) -> dict:
     env = dict(os.environ,
                MPLBACKEND="Agg", CUDA_VISIBLE_DEVICES="",
                HF_HUB_OFFLINE="1", TOKENIZERS_PARALLELISM="false",
-               OMP_NUM_THREADS="2", JAX_PLATFORMS="cpu")
+               # 2-core host: parallel ref queues set PARITY_REF_OMP=1 so two
+               # niced torch runs share the machine without oversubscription
+               OMP_NUM_THREADS=os.environ.get("PARITY_REF_OMP", "2"),
+               JAX_PLATFORMS="cpu")
     t0 = time.time()
     proc = subprocess.run([sys.executable, "-c", code], cwd=cwd, env=env,
                           capture_output=True, text=True, timeout=timeout_s)
@@ -262,7 +265,7 @@ def run_ref_tiger_prefix(datadir: str, workdir: str, epochs: int,
         out["eval_seconds"] = time.time() - t0
         print("PARITY_JSON:" + json.dumps(out))
     """)
-    return _run_ref(code, workdir, timeout_s=14400)
+    return _run_ref(code, workdir, timeout_s=21600)
 
 
 def run_ref_dense_t5(datadir: str, workdir: str, epochs: int,
@@ -312,7 +315,7 @@ def run_ref_dense_t5(datadir: str, workdir: str, epochs: int,
         out["eval_seconds"] = time.time() - t0
         print("PARITY_JSON:" + json.dumps(out))
     """)
-    return _run_ref(code, workdir, timeout_s=12000)
+    return _run_ref(code, workdir, timeout_s=21600)
 
 
 def run_ref_tiger(datadir: str, workdir: str, epochs: int,
@@ -350,7 +353,7 @@ def run_ref_tiger(datadir: str, workdir: str, epochs: int,
         out["eval_seconds"] = time.time() - t0
         print("PARITY_JSON:" + json.dumps(out))
     """)
-    return _run_ref(code, workdir, timeout_s=12000)
+    return _run_ref(code, workdir, timeout_s=21600)
 
 
 # ---------------------------------------------------------------------------
@@ -459,6 +462,11 @@ def run_tpu_dense_t5(datadir: str, workdir: str, epochs: int,
     out["eval_seconds"] = time.time() - t1
     out["wall_seconds"] = time.time() - t0
     out["train_examples_per_sec"] = art.result.examples_per_sec
+    # budget evidence: per-epoch val curve + which epoch best-val selected,
+    # comparable against the reference log's per-epoch lines
+    out["val_losses"] = [float(v) for v in art.result.val_losses]
+    out["best_val_epoch"] = 1 + int(np.argmin(art.result.val_losses))
+    out["num_layers"] = cfg.arch.num_layers
     return out
 
 

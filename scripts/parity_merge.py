@@ -41,7 +41,17 @@ DEFAULT_INPUTS = [
     "artifacts/parity_tpu2.json",          # r2: tpu sasrec/tiger x8
     "artifacts/parity_tpu3.json",          # r2: tpu rqvae/prefix
     "artifacts/parity_tpu_rqvae.json",
-    "artifacts/parity_r3_*.json",          # r3 fills: dense, sasrec, prefix
+    "artifacts/parity_r3_ref_*.json",      # r3 fills: ref dense, sasrec
+    # r4: ref TIGER m43 ×2, ref prefix s1, ref dense m43; tpu DenseT5 at the
+    # reference's EFFECTIVE 6-layer architecture (T5/model.py:9-16 drops
+    # num_layers → HF default 6) at the matched 9-epoch budget. These come
+    # LAST so the 6-layer cells replace the r3 2-layer tpu_dense cells —
+    # the 2-layer numbers compared different architectures and are retired
+    # (kept in artifacts/parity_r3_tpu_dense*.json for the record).
+    "artifacts/parity_r4_ref_tiger_m43.json",
+    "artifacts/parity_r4_ref_prefix_s1.json",
+    "artifacts/parity_r4_ref_dense_s0m43.json",
+    "artifacts/parity_r4_tpu_dense6l_e9.json",
 ]
 
 
@@ -84,12 +94,22 @@ def main() -> None:
         "same H5 contract files, same hyperparameters (the reference "
         "`main.py` param dicts), same protocol (best-val checkpoint, "
         "early-stop patience 10; SASRec 60 epochs, TIGER 25-30, "
-        "TIGER-prefix 25, RQ-VAE 100; DenseT5 compares at a ~9-epoch budget "
-        "BOTH sides — the reference's 19.6M-param torch-CPU run costs "
-        "~10 min/epoch on this 2-core host, its corpus-0 run completed 9 "
-        "full epochs before the harness subprocess timeout, and the "
-        "tpu side was re-run at 9 epochs to match; best-val "
-        "checkpointing applies within the budget on both sides). The "
+        "TIGER-prefix 25, RQ-VAE 100). "
+        "**DenseT5 compares like-for-like at the reference's EFFECTIVE "
+        "architecture**: the reference's model builder (`T5/model.py:9-16`) "
+        "never forwards `params['num_layers']` into `T5Config`, so despite "
+        "its param dict saying 2 encoder layers, the model it actually "
+        "trains is HF's default **6-layer** (its own log: 19,603,328 params "
+        "= 16.45M unused default-vocab embedding + 3.15M ≈ 6 blocks at "
+        "d512/d_ff256). The tpu side therefore runs num_layers=6 "
+        "(`genrec_tpu/configs.py` DenseT5Config docstring) at a matched "
+        "~9-epoch budget — the reference's torch-CPU runs cost ~10 "
+        "min/epoch on this 2-core host, and their per-epoch val curves "
+        "(`artifacts/dense_val_curves_r4.json`) show best-val is reached "
+        "at epoch 4-5 with val rising after, i.e. the 9-epoch budget is "
+        "converged for the early-stop protocol, not a truncation. The "
+        "earlier r3 comparison (2-layer tpu vs effective-6-layer ref, "
+        "'+30%') compared different architectures and is retired. The "
         "reference side runs the *actual* `/root/reference` code on torch "
         "CPU; the genrec-tpu side runs its pipelines on one TPU chip. "
         "TIGER/prefix decode UNCONSTRAINED on both sides (trie-constrained "
@@ -127,6 +147,30 @@ def main() -> None:
         else:
             md.append(f"### {title}\n\nINCOMPLETE: ref n={len(ref)}, "
                       f"tpu n={len(tpu)}\n")
+
+    # full-protocol DenseT5 supplement: the reference's own num_epochs=30
+    # protocol is unaffordable on its torch-CPU side (~5h/run) but free on
+    # tpu — report it as the capability number, distinct from the
+    # matched-budget table above
+    e30_path = os.path.join(REPO, "artifacts", "parity_r4_tpu_dense6l_e30.json")
+    if os.path.exists(e30_path):
+        e30 = json.load(open(e30_path)).get("runs", {}).get("tpu_dense_t5", [])
+        if e30:
+            r10 = [r["Recall@10"] for r in e30]
+            walls = [r.get("wall_seconds", 0) for r in e30]
+            md.append(
+                "**DenseT5 at the full 30-epoch reference protocol (tpu "
+                "only)**: the reference's `T5/main.py` asks for 30 epochs "
+                "but its CPU runs cost ~5h each, so the table above "
+                "compares at the 9-epoch budget both sides can complete. "
+                "On tpu the full protocol costs "
+                f"{np.mean(walls):.0f}s/run and reaches Recall@10 "
+                f"{np.mean(r10):.4f} [{min(r10):.4f}–{max(r10):.4f}] "
+                f"(n={len(r10)}, same 6-layer architecture/corpora/seeds; "
+                "`artifacts/parity_r4_tpu_dense6l_e30.json`) — vs "
+                f"{np.mean([r['Recall@10'] for r in runs['tpu_dense_t5']]):.4f} "
+                "at the matched budget. The architecture converges well "
+                "past where the reference can afford to train it.\n")
 
     # hybrid-baseline LOO row (artifact produced by eval_baseline_loo.py)
     loo_path = os.path.join(REPO, "artifacts", "baseline_loo.json")
