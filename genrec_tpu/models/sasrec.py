@@ -20,7 +20,7 @@ normalized) and `SASRec/train.py:59-81` (1-negative validation loss).
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Callable, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -38,6 +38,10 @@ class SASRecBlock(nn.Module):
     mlp_layer: int
     dropout: float
     layernorm_eps: float
+    # optional attention override: (q, k, v, *, num_heads, causal) → out.
+    # Lets SASRecLarge swap in ring attention for context-parallel training
+    # without duplicating the block (ops/ring_attention.py).
+    attn_fn: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -45,7 +49,8 @@ class SASRecBlock(nn.Module):
         q = nn.Dense(self.d)(h)
         k = nn.Dense(self.d)(h)
         v = nn.Dense(self.d)(h)
-        attn = multi_head_attention(q, k, v, num_heads=self.num_heads, causal=True)
+        attn = (self.attn_fn or multi_head_attention)(
+            q, k, v, num_heads=self.num_heads, causal=True)
         attn = nn.Dense(self.d)(attn)  # output projection (torch MHA out_proj)
         x = x + attn
 

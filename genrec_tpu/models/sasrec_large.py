@@ -31,7 +31,7 @@ reuses :class:`genrec_tpu.models.sasrec.SASRecBlock` unchanged.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -104,21 +104,38 @@ class SASRecLarge(nn.Module):
     use_sharded: bool = True
     lookup_impl: str = "psum"  # "psum" | "alltoall"
     alltoall_capacity: float = 2.0
+    # context parallelism: name of the mesh axis the SEQUENCE dimension is
+    # sharded over. When set, every block's attention runs as an exact
+    # ppermute ring (ops/ring_attention.py) — L/M tokens of K/V per device
+    # per hop — so histories longer than one chip's HBM train across the
+    # mesh. ``ctx_batch_axis`` names the DP axis the batch stays sharded on.
+    ctx_axis: Optional[str] = None
+    ctx_batch_axis: Optional[str] = "data"
 
     def setup(self):
         c = self.cfg
         V = self.item_num + 1
-        assert V % self.mesh.shape["model"] == 0, (
+        model_dim = dict(self.mesh.shape).get("model", 1)
+        assert V % model_dim == 0, (
             f"padded vocab {V} must divide the model axis "
-            f"{self.mesh.shape['model']}; round item_num up")
+            f"{model_dim}; round item_num up")
         self.item_table = self.param(
             "item_table",
             nn.initializers.normal(stddev=1.0 / c.embedding.dim ** 0.5),
             (V, c.embedding.dim))
         self.pos_emb = nn.Embed(c.max_len, c.embedding.dim)
+        attn_fn = None
+        if self.ctx_axis is not None:
+            from genrec_tpu.ops.ring_attention import ring_multi_head_attention
+            mesh, axis, baxis = self.mesh, self.ctx_axis, self.ctx_batch_axis
+
+            def attn_fn(q, k, v, *, num_heads, causal=True):
+                return ring_multi_head_attention(
+                    q, k, v, mesh, num_heads=num_heads, axis_name=axis,
+                    causal=causal, batch_axis=baxis)
         self.blocks = [
             SASRecBlock(c.embedding.dim, c.num_heads, c.mlp_layer,
-                        c.dropout, c.layernorm_eps)
+                        c.dropout, c.layernorm_eps, attn_fn=attn_fn)
             for _ in range(c.num_blocks)
         ]
         self.last_norm = nn.LayerNorm(epsilon=c.layernorm_eps)

@@ -106,9 +106,12 @@ def ring_attention(q, k, v, mesh: Mesh, *, axis_name: str = "data",
 
 def ring_multi_head_attention(q, k, v, mesh: Mesh, *, num_heads: int,
                               axis_name: str = "data",
-                              causal: bool = False):
+                              causal: bool = False,
+                              batch_axis: Optional[str] = None):
     """(B, L, H·D) wrapper mirroring `ops.attention.multi_head_attention`
-    for sequence-sharded inputs."""
+    for sequence-sharded inputs. ``batch_axis`` keeps the batch dimension
+    sharded over a second mesh axis (DP × CP) instead of forcing an
+    all-gather of the batch into every ring participant."""
     b, lq, dm = q.shape
     dh = dm // num_heads
 
@@ -116,5 +119,6 @@ def ring_multi_head_attention(q, k, v, mesh: Mesh, *, num_heads: int,
         return x.reshape(b, x.shape[1], num_heads, dh).transpose(0, 2, 1, 3)
 
     out = ring_attention(split(q), split(k), split(v), mesh,
-                         axis_name=axis_name, causal=causal)
+                         axis_name=axis_name, causal=causal,
+                         batch_axis=batch_axis)
     return out.transpose(0, 2, 1, 3).reshape(b, lq, dm)
