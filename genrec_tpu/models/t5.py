@@ -295,8 +295,15 @@ class T5Stack(nn.Module):
         if mode == "on":
             return True
         # auto: training steps on a TPU backend (eval/generation keep the
-        # XLA path — decode shapes grow per step and dropout is off anyway)
-        return (not deterministic) and is_tpu_backend()
+        # XLA path — decode shapes grow per step and dropout is off anyway).
+        # DROPOUT-FREE ONLY (2026-08-21): every measured dropout variant of
+        # the fused kernel loses to XLA's inline-dropout attention (the
+        # mask must be materialized XLA-side — mask-generation experiments
+        # in artifacts/dropout_mask_exp_r4.json; retirement rationale in
+        # ops/t5_attention.make_dropout_mask docstring), so auto engages
+        # the kernel only where it wins: dropout-free training.
+        return (not deterministic) and self.cfg.dropout_rate == 0.0 \
+            and is_tpu_backend()
 
     def __call__(self, inputs_embeds, attention_mask=None, enc_out=None,
                  enc_mask=None, *, deterministic: bool = True,
