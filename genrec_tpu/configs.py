@@ -51,6 +51,11 @@ class TrainerConfig:
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # bfloat16 on TPU for the large configs
     keep_checkpoints: int = 5  # bounded retention (RQ-VAE/train.py:230-246)
+    # length-bucketed epochs: split each bucket's step sequence into up to
+    # this many chunks and shuffle the chunks across buckets per epoch —
+    # contiguous whole-bucket visits are a length-correlated ordering that
+    # measurably costs quality (artifacts/bucket_quality_r4.json)
+    bucket_interleave_chunks: int = 4
     # when set, Trainer.fit captures ONE jax.profiler trace of the second
     # (post-compile) training epoch into this directory
     profile_dir: Optional[str] = None
