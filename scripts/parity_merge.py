@@ -202,12 +202,15 @@ def main() -> None:
             f"TIGER end-to-end pipeline training throughput (steady-state, "
             f"excl. jit-compile epoch, mean of {len(tt)} runs): "
             f"**{steady:,.0f} ex/s** on one chip vs the reference GPU's "
-            "3.1K (BASELINE.md). With length-bucketed epochs "
-            "(`TIGERConfig.target_len_buckets=4`) the bench-measured "
-            "train rate is **37.9K ex/s** (bench.py headline, 12.2× "
-            "baseline); bucketed quality lands within 1–2% of the "
-            "same-corpus flat means (inside the ±3% seed spread; "
-            "`artifacts/bucket_quality_r3*.json`) and parity runs keep "
+            "3.1K (BASELINE.md). The bench.py HEADLINE is the flat-padded "
+            "path; length-bucketed epochs "
+            "(`TIGERConfig.target_len_buckets=4`) are an opt-in throughput "
+            "row — the r4 quality grid (3 model seeds × 2 corpora, "
+            "`artifacts/bucket_quality_r4_interleaved.json`) measures them "
+            "1.2–2.4% below the flat Recall@10 means even with "
+            "chunk-interleaved bucket visiting, and their speedup is "
+            "target-length-distribution dependent (~2× on uniform "
+            "synthetic lengths, ~+10% on this corpus). Parity runs keep "
             "buckets off.\n")
     md.append("Merged artifacts: " + ", ".join(
         f"`{os.path.relpath(p, REPO)}`" for p in paths
