@@ -208,9 +208,12 @@ def main(argv=None):
         if name == "tiger":
             sp.add_argument("--len-buckets", type=int, default=1,
                             help="partition training by target length into "
-                                 "N static-shape buckets (quality-neutral "
-                                 "throughput: ~2x at 4 buckets — see "
-                                 "bench.py docstring)")
+                                 "N static-shape buckets (opt-in throughput "
+                                 "feature: up to ~2x at 4 buckets but "
+                                 "measured 1.2-2.4%% below flat Recall@10 "
+                                 "means — see bench.py docstring and "
+                                 "artifacts/bucket_quality_r4_interleaved"
+                                 ".json)")
         sp.set_defaults(fn=fn)
 
     sp = sub.add_parser("etl-app-db", help="SQLite app DB → H5 contracts")
