@@ -429,7 +429,8 @@ class Trainer:
 
             self.start_epoch = epoch
             tc = time.perf_counter()
-            self.store.save_latest(self.step, self._state_dict())
+            if (epoch % cfg.ckpt_every_epochs == 0) or epoch == cfg.epochs:
+                self.store.save_latest(self.step, self._state_dict())
             phase["ckpt"] += time.perf_counter() - tc
 
             if epoch_end_callback is not None:

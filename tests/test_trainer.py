@@ -123,3 +123,24 @@ def test_bucket_by_target_len_partition():
     widths = [b["labels"].shape[1] for b in buckets]
     assert widths == sorted(set(widths))
     assert widths[-1] >= lens.max()
+
+
+def test_ckpt_every_epochs(tmp_path):
+    """ckpt_every_epochs=3: latest-state saves land only on epochs 3 and 6
+    (+ the final epoch), and resume restores from the most recent one.
+    Best-val checkpoints are unaffected by the cadence."""
+    data, params, loss_fn = _linear_regression_setup()
+    cfg = TrainerConfig(epochs=7, batch_size=64, lr=0.1,
+                        ckpt_dir=str(tmp_path / "c"), early_stop_patience=50,
+                        ckpt_every_epochs=3)
+    tr = Trainer(cfg, init_params=params, loss_fn=loss_fn, steps_per_epoch=4,
+                 train_data=data, val_data=data)
+    tr.fit()
+    # resume: a fresh trainer restores the saved latest state
+    cfg2 = dataclasses.replace(cfg, resume=True)
+    tr2 = Trainer(cfg2, init_params=params, loss_fn=loss_fn,
+                  steps_per_epoch=4, train_data=data, val_data=data)
+    # the final epoch (7) always saves, so resume picks up from epoch 7
+    assert tr2.start_epoch == 8
+    np.testing.assert_allclose(np.asarray(tr2.params["w"]),
+                               np.asarray(tr.params["w"]), atol=1e-6)
