@@ -52,6 +52,10 @@ DEFAULT_INPUTS = [
     "artifacts/parity_r4_ref_prefix_s1.json",
     "artifacts/parity_r4_ref_dense_s0m43.json",
     "artifacts/parity_r4_tpu_dense6l_e9.json",
+    # r4 tpu prefix rerun (adapter attention-dropout fix) + extra seeds:
+    # listed last so the fixed-adapter cells replace the r2/r3 ones
+    "artifacts/parity_r4_tpu_prefix.json",
+    "artifacts/parity_r4_tpu_prefix_m4445.json",
 ]
 
 

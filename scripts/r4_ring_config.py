@@ -123,18 +123,15 @@ def run_virtual() -> None:
     assert comms["ops"].get("collective-permute", 0) > 0, comms
 
 
-def run_chip() -> None:
+def run_chip(L: int = 2048, B: int = 16) -> None:
     import jax
     import jax.numpy as jnp
     import optax
 
-    from genrec_tpu.configs import (ShardedEmbeddingConfig,
-                                    long_context_sasrec_config)
+    from genrec_tpu.configs import MeshConfig, long_context_sasrec_config
     from genrec_tpu.models.sasrec_large import SASRecLarge, make_train_step
     from genrec_tpu.parallel.mesh import make_mesh
-    from genrec_tpu.configs import MeshConfig
 
-    L, B = 2048, 16
     mesh = make_mesh(MeshConfig(data_axis=1, model_axis=1))
     cfg = long_context_sasrec_config(max_len=L, dim=64)
     item_num = cfg.embedding.vocab_size - 1
@@ -164,7 +161,7 @@ def run_chip() -> None:
         if i in (0, steps + 4):
             losses.append(float(loss))
     dt = (time.perf_counter() - t0) / steps
-    _merge({"chip": {
+    _merge({("chip" if L == 2048 else f"chip_L{L}"): {
         "device": jax.devices()[0].device_kind, "L": L, "B": B,
         "dim": cfg.embedding.dim, "num_blocks": cfg.num_blocks,
         "flash_kernel_in_program": bool(has_mosaic),
@@ -173,15 +170,19 @@ def run_chip() -> None:
         "tokens_per_sec": B * L / dt,
         "loss_first": losses[0], "loss_last": losses[-1],
     }})
-    assert has_mosaic, "L=2048 step compiled without the flash kernel"
+    assert has_mosaic, f"L={L} step compiled without the flash kernel"
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--virtual", action="store_true")
     ap.add_argument("--chip", action="store_true")
+    ap.add_argument("--chip-L", type=int, nargs="*", default=[2048],
+                    help="sequence lengths for the single-chip sweep; B "
+                    "scales down to keep B*L tokens/step constant")
     args = ap.parse_args()
     if args.virtual:
         run_virtual()
     if args.chip:
-        run_chip()
+        for L in args.chip_L:
+            run_chip(L=L, B=max(2, 16 * 2048 // L))
