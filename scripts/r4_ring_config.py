@@ -185,4 +185,8 @@ if __name__ == "__main__":
         run_virtual()
     if args.chip:
         for L in args.chip_L:
-            run_chip(L=L, B=max(2, 16 * 2048 // L))
+            # B halves twice as fast as L grows past 2048: XLA scopes the
+            # dkv kernel's (B·H, L, d) output pair to VMEM, and (32, 4096,
+            # 16) f32 ×2 already exceeds the 16 MB scoped limit by 52 KB
+            B = 16 if L <= 2048 else max(2, 8 * 2048 // L)
+            run_chip(L=L, B=B)
