@@ -106,6 +106,79 @@ def _flash_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
     lse_ref[0] = m + jnp.log(l)                           # (block_q, 1)
 
 
+def _flash_fwd_kernel_blocked(q_ref, k_ref, v_ref, acc_ref, m_ref, l_ref, *,
+                              causal: bool, sm_scale: float):
+    """One (batch*head, q-block, k-block) program of the LONG-SEQUENCE
+    forward: the online-softmax state (acc, m, l) lives in the f32 output
+    refs, revisited across the innermost k-grid axis, so VMEM never holds
+    a full-length K/V ref (which lane-pads 8× at d_head 16 and overflows
+    the 16 MB scoped limit at L=8192). The caller finishes with
+    out = acc / l and lse = m + log l XLA-side."""
+    qi, ki = pl.program_id(1), pl.program_id(2)
+    block_q, block_k = q_ref.shape[1], k_ref.shape[1]
+
+    @pl.when(ki == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, _NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    def compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            s = jnp.where(col + ki * block_k > row + qi * block_q,
+                          _NEG_INF, s)
+        m_prev = m_ref[0]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[0] = alpha * l_ref[0] + jnp.sum(p, axis=-1, keepdims=True)
+        acc_ref[0] = acc_ref[0] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[0] = m_new
+
+    if causal:
+        pl.when(ki * block_k <= (qi + 1) * block_q - 1)(compute)
+    else:
+        compute()
+
+
+def _flash_forward_blocked(qr, kr, vr, causal, block_q, block_k, sm_scale,
+                           interpret):
+    bh, lq, d = qr.shape
+    lk = kr.shape[1]
+
+    def qb(i, qi, ki):
+        return (i, qi, 0)
+
+    def kb(i, qi, ki):
+        return (i, ki, 0)
+
+    qspec = pl.BlockSpec((1, block_q, d), qb, memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, block_k, d), kb, memory_space=pltpu.VMEM)
+    rowq = pl.BlockSpec((1, block_q, 1), qb, memory_space=pltpu.VMEM)
+    acc, m, l = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel_blocked, causal=causal,
+                          sm_scale=sm_scale),
+        grid=(bh, lq // block_q, lk // block_k),
+        in_specs=[qspec, kspec, kspec],
+        out_specs=[qspec, rowq, rowq],
+        out_shape=[jax.ShapeDtypeStruct((bh, lq, d), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, lq, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, lq, 1), jnp.float32)],
+        interpret=interpret,
+    )(qr, kr, vr)
+    l = jnp.maximum(l, 1e-30)
+    return acc / l, m + jnp.log(l)
+
+
 def _flash_forward(q, k, v, bias, causal, block_q, block_k, interpret):
     """pallas_call wrapper; returns (out (B,H,Lq,D), lse (B*H, Lq, 1) f32).
     The trailing singleton keeps the Mosaic block-shape rule satisfied
@@ -118,6 +191,13 @@ def _flash_forward(q, k, v, bias, causal, block_q, block_k, interpret):
     qr = q.reshape(bh, lq, d)
     kr = k.reshape(bh, lk, d)
     vr = v.reshape(bh, lk, d)
+    if bias is None and _use_blocked_bwd(lq, lk, d):
+        # long-sequence path: no full-length refs anywhere (the biased
+        # caller — T5 rel-pos — lives at ≤few-hundred-token scale and
+        # never reaches these lengths)
+        out, lse = _flash_forward_blocked(qr, kr, vr, causal, block_q,
+                                          block_k, sm_scale, interpret)
+        return out.astype(q.dtype).reshape(b, h, lq, d), lse
     in_specs = [
         pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                      memory_space=pltpu.VMEM),
@@ -246,6 +326,153 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
+def _dsoftmax_block(q, k, v, do, lse, delta, causal, sm_scale, q_off, k_off):
+    """Shared per-(q-block, k-block) recompute: returns (p, ds) with the
+    causal mask applied via absolute token offsets."""
+    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32) * sm_scale
+    if causal:
+        bq, bk = s.shape
+        row = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        s = jnp.where(col + k_off > row + q_off, _NEG_INF, s)
+    p = jnp.exp(s - lse)
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    return p, ds
+
+
+def _flash_bwd_dq_kernel_blocked(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                                 delta_ref, dq_ref, *, causal: bool,
+                                 sm_scale: float):
+    """One (batch*head, q-block, k-block) program accumulating into an f32
+    dq output block that is revisited across the innermost k-grid axis —
+    the long-sequence variant: VMEM holds only O(block) tensors, never a
+    full-length ref (the fori-loop kernels keep (1, L, d) refs resident,
+    which lane-pads 8× at d_head 16 and overflows the 16 MB scoped limit
+    at L=4096 — artifacts/ring_cp_r4.json chip_L4096_note). Same
+    accumulate-into-output pattern as `t5_attention._bwd_kernel` dbias,
+    known to lower on this toolchain."""
+    qi, ki = pl.program_id(1), pl.program_id(2)
+    block_q, block_k = q_ref.shape[1], k_ref.shape[1]
+
+    @pl.when(ki == 0)
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    def compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0].astype(jnp.float32)
+        delta = delta_ref[0].astype(jnp.float32)
+        _, ds = _dsoftmax_block(q, k, v, do, lse, delta, causal, sm_scale,
+                                qi * block_q, ki * block_k)
+        dq_ref[0] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+
+    if causal:  # k-blocks fully above the diagonal contribute zero
+        pl.when(ki * block_k <= (qi + 1) * block_q - 1)(compute)
+    else:
+        compute()
+
+
+def _flash_bwd_dkv_kernel_blocked(q_ref, k_ref, v_ref, do_ref, lse_ref,
+                                  delta_ref, dk_ref, dv_ref, *,
+                                  causal: bool, sm_scale: float):
+    """One (batch*head, k-block, q-block) program accumulating dk/dv f32
+    output blocks across the innermost q-grid axis (see
+    `_flash_bwd_dq_kernel_blocked`)."""
+    ki, qi = pl.program_id(1), pl.program_id(2)
+    block_q, block_k = q_ref.shape[1], k_ref.shape[1]
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    def compute():
+        q = q_ref[0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)
+        v = v_ref[0].astype(jnp.float32)
+        do = do_ref[0].astype(jnp.float32)
+        lse = lse_ref[0].astype(jnp.float32)
+        delta = delta_ref[0].astype(jnp.float32)
+        p, ds = _dsoftmax_block(q, k, v, do, lse, delta, causal, sm_scale,
+                                qi * block_q, ki * block_k)
+        dv_ref[0] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dk_ref[0] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * sm_scale
+
+    if causal:  # q-blocks strictly above the diagonal contribute zero
+        pl.when((qi + 1) * block_q - 1 >= ki * block_k)(compute)
+    else:
+        compute()
+
+
+# full-length backward refs beyond this many (lane-padded) bytes switch to
+# the blocked-grid kernels; (1, L, d) lane-pads d up to 128 in VMEM
+_BWD_FULL_REF_BYTES_LIMIT = 1_500_000
+
+
+def _use_blocked_bwd(lq: int, lk: int, d: int) -> bool:
+    padded_d = max(d, 128)
+    return max(lq, lk) * padded_d * 4 > _BWD_FULL_REF_BYTES_LIMIT
+
+
+def _flash_backward_blocked(qr, kr, vr, dor, lse, delta, causal, block_q,
+                            block_k, sm_scale, interpret):
+    bh, lq, d = qr.shape
+    lk = kr.shape[1]
+    nq, nk = lq // block_q, lk // block_k
+
+    def qb(i, qi, ki):
+        return (i, qi, 0)
+
+    def kb(i, qi, ki):
+        return (i, ki, 0)
+
+    qspec = pl.BlockSpec((1, block_q, d), qb, memory_space=pltpu.VMEM)
+    kspec = pl.BlockSpec((1, block_k, d), kb, memory_space=pltpu.VMEM)
+    rowq = pl.BlockSpec((1, block_q, 1), qb, memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel_blocked, causal=causal,
+                          sm_scale=sm_scale),
+        grid=(bh, nq, nk),
+        in_specs=[qspec, kspec, kspec, qspec, rowq, rowq],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((bh, lq, d), jnp.float32),
+        interpret=interpret,
+    )(qr, kr, vr, dor, lse, delta)
+
+    def qb2(i, ki, qi):
+        return (i, qi, 0)
+
+    def kb2(i, ki, qi):
+        return (i, ki, 0)
+
+    qspec2 = pl.BlockSpec((1, block_q, d), qb2, memory_space=pltpu.VMEM)
+    kspec2 = pl.BlockSpec((1, block_k, d), kb2, memory_space=pltpu.VMEM)
+    rowq2 = pl.BlockSpec((1, block_q, 1), qb2, memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel_blocked, causal=causal,
+                          sm_scale=sm_scale),
+        grid=(bh, nk, nq),
+        in_specs=[qspec2, kspec2, kspec2, qspec2, rowq2, rowq2],
+        out_specs=[kspec2, kspec2],
+        out_shape=[jax.ShapeDtypeStruct((bh, lk, d), jnp.float32),
+                   jax.ShapeDtypeStruct((bh, lk, d), jnp.float32)],
+        interpret=interpret,
+    )(qr, kr, vr, dor, lse, delta)
+    return dq, dk, dv
+
+
 def _flash_backward(q, k, v, out, lse, do, causal, block_q, block_k,
                     interpret):
     b, h, lq, d = q.shape
@@ -260,6 +487,14 @@ def _flash_backward(q, k, v, out, lse, do, causal, block_q, block_k,
     delta = jnp.sum(dor.astype(jnp.float32)
                     * out.reshape(bh, lq, d).astype(jnp.float32),
                     axis=-1, keepdims=True)              # (bh, lq, 1)
+
+    if _use_blocked_bwd(lq, lk, d):
+        dq, dk, dv = _flash_backward_blocked(qr, kr, vr, dor, lse, delta,
+                                             causal, block_q, block_k,
+                                             sm_scale, interpret)
+        return (dq.astype(q.dtype).reshape(b, h, lq, d),
+                dk.astype(k.dtype).reshape(b, h, lk, d),
+                dv.astype(v.dtype).reshape(b, h, lk, d))
 
     qb_spec = pl.BlockSpec((1, block_q, d), lambda i, j: (i, j, 0),
                            memory_space=pltpu.VMEM)

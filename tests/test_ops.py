@@ -285,3 +285,38 @@ def test_beam_search_eos_freezes_beam():
     best = np.asarray(toks)[0, 0]
     assert best[1] == eos
     assert (best[2:] == 0).all()  # frozen → padded with pad token
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_attention_blocked_bwd_matches_xla(causal, monkeypatch):
+    """The long-sequence backward variant (3D-grid accumulate-into-output
+    kernels, used when full-length refs would overflow scoped VMEM —
+    `ops.attention._use_blocked_bwd`) must produce the same grads as XLA.
+    Forced on via the byte threshold so the test stays CPU-sized."""
+    from genrec_tpu.ops import attention as A
+    monkeypatch.setattr(A, "_BWD_FULL_REF_BYTES_LIMIT", 1)
+    assert A._use_blocked_bwd(256, 256, 64)
+    b, h, l, d = 2, 2, 256, 64
+    q = jax.random.normal(KEY, (b, h, l, d))
+    k = jax.random.normal(jax.random.PRNGKey(1), (b, h, l, d))
+    v = jax.random.normal(jax.random.PRNGKey(2), (b, h, l, d))
+    w = jax.random.normal(jax.random.PRNGKey(3), (b, h, l, d))
+
+    # forward values through the blocked online-softmax kernel
+    out = flash_attention(q, k, v, causal=causal, interpret=True)
+    ref = _xla_attention(q, k, v, None, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, None, causal) * w)
+
+    def loss_pl(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal,
+                                       interpret=True) * w)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_pl = jax.grad(loss_pl, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_pl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=3e-4, rtol=3e-4)
