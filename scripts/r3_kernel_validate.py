@@ -114,6 +114,33 @@ def main():
     print("bwd errs (non-degenerate)", errs, flush=True)
     print("bwd rel errs inf", rels, "fro", fros, flush=True)
 
+    stage("bwd_no_degenerate")
+    # dbias is batch-SUMMED, so the 0.14% fully-masked (degenerate) rows —
+    # whose ds is loss-masked garbage that legitimately differs between
+    # the augmented-column and additive-mask paths — cannot be masked out
+    # of it post hoc and show up as an apparent 0.28 max-abs error. With a
+    # mask guaranteed non-degenerate (first key always visible, the only
+    # case real data produces: every example has ≥1 token) ALL FOUR grads
+    # incl. dbias are BIT-EXACT vs XLA autodiff.
+    mask_nd = jnp.asarray(np.concatenate(
+        [np.ones((B, 1), np.int32),
+         (np.random.default_rng(1).random((B, Lk - 1)) > 0.2)
+         .astype(np.int32)], axis=1))
+    outs_nd = jax.jit(lambda q, k, v, b, m, do: _bwd_call(
+        _hb(q), _hb(k), _hb(v), b, m, seeds, _hb(do), H, False, 0.0, 8,
+        False))(q, k, v, bias, mask_nd, do)
+    outs_nd = tuple(_hbi(o_, B, H) for o_ in outs_nd[:3]) + (outs_nd[3],)
+
+    def lr_nd(q, k, v, b):
+        return jnp.sum(ref(q, k, v, b, mask_nd, False) * do)
+
+    gr_nd = jax.grad(lr_nd, (0, 1, 2, 3))(q, k, v, bias)
+    RES["bwd_max_abs_err_no_degenerate_rows"] = {
+        n: float(jnp.max(jnp.abs(a - b_)))
+        for n, a, b_ in zip(["dq", "dk", "dv", "dbias"], outs_nd, gr_nd)}
+    print("bwd errs (no degenerate rows — expect exact)",
+          RES["bwd_max_abs_err_no_degenerate_rows"], flush=True)
+
     stage("dropout")
     try:
         from genrec_tpu.ops.t5_attention import _hbld, make_dropout_mask
