@@ -93,3 +93,43 @@ def test_cp_train_step_runs_and_learns(cp_setup):
     for a, b in zip(flat_cp, flat_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=5e-5, rtol=5e-4)
+
+
+def test_cp_composes_with_sharded_table():
+    """Full composition: DP × CP × MP on one tower — batch on 'data',
+    sequence ring on 'ctx', item table row-sharded on 'model' — must match
+    the unsharded single-path model. Where array shardings and shard_map
+    specs disagree (the lookup flattens (B, L) ids), XLA reshards; the
+    point is end-to-end correctness of the composed program."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 2, 2),
+                ("data", "ctx", "model"))
+    cfg = dataclasses.replace(
+        long_context_sasrec_config(max_len=512, dim=16),
+        num_blocks=1, num_heads=2, mlp_layer=32,
+        embedding=ShardedEmbeddingConfig(vocab_size=512, dim=16))
+    item_num = cfg.embedding.vocab_size - 1
+    rng = np.random.default_rng(2)
+    ids = jnp.asarray(rng.integers(1, item_num, size=(2, 512)), jnp.int32)
+
+    ref = SASRecLarge(item_num=item_num, cfg=cfg, mesh=mesh,
+                      use_sharded=False)
+    params = ref.init(jax.random.PRNGKey(0), ids)
+    full = SASRecLarge(item_num=item_num, cfg=cfg, mesh=mesh,
+                       use_sharded=True, ctx_axis="ctx")
+    from jax.sharding import NamedSharding as NS
+    params_sh = jax.device_put(
+        params, jax.tree_util.tree_map(
+            lambda _: NS(mesh, P()), params))
+    # row-shard the table over 'model'
+    params_sh = jax.tree_util.tree_map(lambda x: x, params_sh)
+    table_sh = jax.device_put(params["params"]["item_table"],
+                              NS(mesh, P("model", None)))
+    params_sh["params"]["item_table"] = table_sh
+    ids_sh = jax.device_put(ids, NS(mesh, P("data", "ctx")))
+
+    out_ref = jax.jit(lambda p, x: ref.apply(p, x))(params, ids)
+    out_full = jax.jit(lambda p, x: full.apply(p, x))(params_sh, ids_sh)
+    np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_ref),
+                               atol=3e-5, rtol=3e-5)
