@@ -353,7 +353,14 @@ class Trainer:
                 # into ≤interleave pieces and shuffling the pieces restores
                 # approximate global mixing while keeping per-bucket static
                 # shapes (≤2 distinct scan lengths per bucket, so the jit
-                # re-specialization stays bounded).
+                # re-specialization stays bounded). Interleaving halves the
+                # deficit (−2.4/−1.2% at 4 chunks); finer granularity does
+                # NOT help further (16 chunks: −2.1/−1.2%, and ~25% slower
+                # from extra dispatches/tails —
+                # artifacts/bucket_quality_r4_i16.json): the residual is
+                # the length-HOMOGENEOUS batch composition itself, which
+                # static per-bucket shapes cannot avoid — hence buckets
+                # stay opt-in rather than default.
                 work = []  # (bucket_idx, idx_chunk)
                 for bi, data in enumerate(buckets):
                     n = len(next(iter(data.values())))

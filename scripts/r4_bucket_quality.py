@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--workdir", default="/tmp/bucket_quality_r4")
     ap.add_argument("--epochs", type=int, default=25)
     ap.add_argument("--buckets", type=int, default=4)
+    ap.add_argument("--interleave", type=int, default=None,
+                    help="override TrainerConfig.bucket_interleave_chunks")
     ap.add_argument("--out", default=OUT_DEFAULT)
     args = ap.parse_args()
 
@@ -70,7 +72,9 @@ def main():
                     configs.TIGERConfig().trainer, epochs=args.epochs,
                     seed=seed, early_stop_patience=10,
                     ckpt_dir=os.path.join(wdir, "ckpt"),
-                    log_path=os.path.join(wdir, "tiger.log")))
+                    log_path=os.path.join(wdir, "tiger.log"),
+                    **({"bucket_interleave_chunks": args.interleave}
+                       if args.interleave else {})))
             t0 = time.time()
             art = tiger_pipeline.train(cfg)
             t1 = time.time()
