@@ -43,8 +43,18 @@ class Settings:
     llm_model: str = "env-configured"
     log_level: str = "INFO"
     # production frontend bundle; served under /static when the directory
-    # exists (reference: `backend/app/main.py:88-91` StaticFiles mount)
+    # exists (reference: `backend/app/main.py:88-91` StaticFiles mount).
+    # RELATIVE paths are resolved against the REPO ROOT (not the process
+    # CWD — a server launched from anywhere must find the same bundle);
+    # the default mirrors the reference's frontend-as-sibling layout.
     static_dir: str = "../frontend/dist"
+
+    def resolved_static_dir(self) -> str:
+        if os.path.isabs(self.static_dir):
+            return self.static_dir
+        repo_root = os.path.dirname(os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))))
+        return os.path.normpath(os.path.join(repo_root, self.static_dir))
 
     @classmethod
     def from_env(cls, env_file: str = ".env") -> "Settings":

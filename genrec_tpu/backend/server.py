@@ -102,7 +102,7 @@ class _Handler(BaseHTTPRequestHandler):
         applies, like any unmatched route."""
         import mimetypes
         import os
-        root = os.path.abspath(self.server.ctx.settings.static_dir)
+        root = self.server.ctx.settings.resolved_static_dir()
         if not os.path.isdir(root):
             return False
         rel = urlsplit(self.path).path[len("/static/"):]
@@ -172,9 +172,10 @@ def create_fastapi_app(ctx: Optional[AppContext] = None):
 
     # production frontend bundle (reference `backend/app/main.py:88-91`)
     import os
-    if os.path.isdir(ctx.settings.static_dir):
+    if os.path.isdir(ctx.settings.resolved_static_dir()):
         from fastapi.staticfiles import StaticFiles
-        app.mount("/static", StaticFiles(directory=ctx.settings.static_dir),
+        app.mount("/static",
+                  StaticFiles(directory=ctx.settings.resolved_static_dir()),
                   name="static")
 
     @app.api_route("/{full_path:path}",

@@ -165,8 +165,8 @@ class T5ArchConfig:
     # it is NEUTRAL without dropout (11.59 vs 11.55 ms/step); at d256/H8 it
     # WINS 8% without dropout (6.52 vs 7.07). RETIRED for dropout configs
     # (2026-08-21): every measured mask-generation variant loses to XLA's
-    # inline dropout — bernoulli-on-rbg 15.9, u8-compare 16.2,
-    # threefry-converted 17.6 vs XLA 12.9 ms/step at parity
+    # inline dropout — bernoulli-on-given-key 15.87, u8-compare 16.01,
+    # threefry-converted 17.63 vs XLA 12.86 ms/step at parity
     # (artifacts/dropout_mask_exp_r4.json) — because this toolchain's
     # Mosaic has no in-kernel PRNG lowering, the mask must be materialized
     # in HBM, and even a zero-cost mask would only tie XLA. Rule: enable
@@ -328,6 +328,8 @@ class SASRecLargeConfig:
         default_factory=ShardedEmbeddingConfig)
     trainer: TrainerConfig = dataclasses.field(
         default_factory=lambda: TrainerConfig(batch_size=4096, lr=1e-3))
+    mesh: MeshConfig = dataclasses.field(
+        default_factory=lambda: MeshConfig(data_axis=-1, model_axis=2))
 
 
 def long_context_sasrec_config(max_len: int = 2048,
@@ -342,8 +344,6 @@ def long_context_sasrec_config(max_len: int = 2048,
         dropout=0.2, num_neg_samples=64, context_parallel_axis="ctx",
         embedding=ShardedEmbeddingConfig(vocab_size=65536, dim=dim),
         trainer=TrainerConfig(batch_size=32, lr=1e-3))
-    mesh: MeshConfig = dataclasses.field(
-        default_factory=lambda: MeshConfig(data_axis=-1, model_axis=2))
 
 
 def replace(cfg, **kw):

@@ -36,8 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _xla_attention(q, k, v, bias, causal):
-    """Reference XLA path. q,k,v: (B, H, L, D); bias: (B|1, H|1, Lq, Lk)."""
+def _xla_attention(q, k, v, bias, causal, dropout_rate: float = 0.0,
+                   dropout_rng=None):
+    """Reference XLA path. q,k,v: (B, H, L, D); bias: (B|1, H|1, Lq, Lk).
+    ``dropout_rate``/``dropout_rng`` apply inverted dropout to the
+    ATTENTION WEIGHTS (torch `nn.MultiheadAttention(..., dropout=)`
+    semantics — used by the TIGER-prefix adapters)."""
     d = q.shape[-1]
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32)
@@ -50,6 +54,10 @@ def _xla_attention(q, k, v, bias, causal):
         col = jax.lax.broadcasted_iota(jnp.int32, (lq, lk), 1)
         logits = jnp.where(col > row + (lk - lq), _NEG_INF, logits)
     probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate,
+                                    probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v,
                       preferred_element_type=jnp.float32).astype(v.dtype)
 
@@ -648,23 +656,32 @@ def _use_pallas(lq: int, lk: int, d: int) -> bool:
 
 def dot_product_attention(q, k, v, bias=None, *, causal: bool = False,
                           force_pallas: Optional[bool] = None,
-                          interpret: bool = False):
-    """(B, H, L, D) attention with optional additive bias and causal mask."""
-    use = _use_pallas(q.shape[2], k.shape[2], q.shape[3]) if force_pallas is None \
-        else force_pallas
+                          interpret: bool = False,
+                          dropout_rate: float = 0.0, dropout_rng=None):
+    """(B, H, L, D) attention with optional additive bias and causal mask.
+    Attention-weight dropout forces the XLA path (the flash kernel has no
+    in-kernel PRNG on this toolchain — ops/t5_attention.py module doc)."""
+    with_drop = dropout_rate > 0.0 and dropout_rng is not None
+    use = (_use_pallas(q.shape[2], k.shape[2], q.shape[3])
+           if force_pallas is None else force_pallas) and not with_drop
     if use:
         return flash_attention(q, k, v, bias, causal=causal, interpret=interpret)
-    return _xla_attention(q, k, v, bias, causal)
+    return _xla_attention(q, k, v, bias, causal, dropout_rate, dropout_rng)
 
 
 def multi_head_attention(q, k, v, *, num_heads: int, bias=None,
-                         causal: bool = False):
-    """Split (B, L, H*D) projections into heads, attend, and merge back."""
+                         causal: bool = False,
+                         dropout_rate: float = 0.0, dropout_rng=None):
+    """Split (B, L, H*D) projections into heads, attend, and merge back.
+    ``dropout_rate``/``dropout_rng`` enable torch-MHA-style attention
+    WEIGHT dropout (pass a key only when training)."""
     b, lq, dm = q.shape
     lk = k.shape[1]
     dh = dm // num_heads
     qh = q.reshape(b, lq, num_heads, dh).transpose(0, 2, 1, 3)
     kh = k.reshape(b, lk, num_heads, dh).transpose(0, 2, 1, 3)
     vh = v.reshape(b, lk, num_heads, dh).transpose(0, 2, 1, 3)
-    out = dot_product_attention(qh, kh, vh, bias, causal=causal)
+    out = dot_product_attention(qh, kh, vh, bias, causal=causal,
+                                dropout_rate=dropout_rate,
+                                dropout_rng=dropout_rng)
     return out.transpose(0, 2, 1, 3).reshape(b, lq, dm)

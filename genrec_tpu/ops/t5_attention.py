@@ -74,15 +74,17 @@ def make_dropout_mask(rng_key, hb, lq, lk, rate, dtype=jnp.bfloat16):
     artifacts/dropout_mask_exp_r4.json; TIGER parity step, all three mask
     shapes): in ISOLATION threefry-keyed u8-compare generation is ~5×
     faster than bernoulli on the trainer's rbg keys (0.61 vs 2.92 ms), but
-    IN the compiled train step the ordering inverts — bernoulli-on-rbg
-    15.85 ms/step vs u8-on-rbg 16.21 vs threefry-converted-u8 17.58 —
-    XLA overlaps the rbg generation with surrounding compute, and the
-    key-impl conversion defeats that. So this stays the simple bernoulli
-    form, and since even a ZERO-cost mask would leave the fused+dropout
-    step ≈ tied with XLA's inline-dropout path (fused nodrop 11.6 ms +
-    ~0.9 ms unavoidable mask write+2×read vs XLA 12.9 ms), the fused
-    kernel is RETIRED for dropout configs instead: `fused_attention="auto"`
-    gates on dropout_rate == 0 (models/t5.py `_fused`).
+    IN the compiled train step the ordering inverts — fused step with
+    bernoulli-on-given-(rbg)-key 15.87 ms vs u8-compare-on-given-key
+    16.01 vs threefry-converted-u8 17.63, all against XLA's
+    inline-dropout 12.86 — XLA overlaps the rbg generation with
+    surrounding compute, and the key-impl conversion defeats that. So
+    this stays the simple bernoulli form, and since even a ZERO-cost mask
+    would leave the fused+dropout step ≈ tied with XLA's inline-dropout
+    path (fused nodrop 11.6 ms + ~0.9 ms unavoidable mask write+2×read vs
+    XLA 12.9 ms), the fused kernel is RETIRED for dropout configs
+    instead: `fused_attention="auto"` gates on dropout_rate == 0
+    (models/t5.py `_fused`).
     """
     keep = jax.random.bernoulli(rng_key, 1.0 - rate, (hb, lq, lk))
     return jnp.where(keep, 1.0 / (1.0 - rate), 0.0).astype(dtype)

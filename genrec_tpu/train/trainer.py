@@ -455,6 +455,12 @@ class Trainer:
                 no_improve += 1
                 if no_improve >= cfg.early_stop_patience:
                     self.logger.info(f"Early stopping at epoch {epoch}.")
+                    if cfg.ckpt_every_epochs > 1 \
+                            and epoch % cfg.ckpt_every_epochs != 0:
+                        # the cadence skipped this epoch's latest-state
+                        # save; persist it so resume starts from the
+                        # stopping point, not up to N-1 epochs earlier
+                        self.store.save_latest(self.step, self._state_dict())
                     break
 
         self.store.wait()

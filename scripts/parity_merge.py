@@ -157,7 +157,7 @@ def main() -> None:
     # tpu — report it as the capability number, distinct from the
     # matched-budget table above
     e30_path = os.path.join(REPO, "artifacts", "parity_r4_tpu_dense6l_e30.json")
-    if os.path.exists(e30_path):
+    if os.path.exists(e30_path) and runs["tpu_dense_t5"]:
         e30 = json.load(open(e30_path)).get("runs", {}).get("tpu_dense_t5", [])
         if e30:
             r10 = [r["Recall@10"] for r in e30]

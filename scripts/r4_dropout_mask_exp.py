@@ -144,16 +144,27 @@ def main():
         dt = time.perf_counter() - t0
         return {"ms_per_step": 1e3 * dt / steps, "loss_last": l1}
 
-    def gen_rbg_bernoulli(key, hb, lq, lk, r, dtype=jnp.bfloat16):
-        # the r3 implementation: bernoulli directly on the incoming
-        # (rbg-derived) key — the baseline the shipped fn improves on
-        kp = jax.random.bernoulli(key, 1.0 - r, (hb, lq, lk))
-        return jnp.where(kp, 1.0 / (1.0 - r), 0.0).astype(dtype)
+    def gen_u8cmp_given_key(key, hb, lq, lk, r, dtype=jnp.bfloat16):
+        # u8-bits compare on the incoming (rbg-derived) key
+        t = int(np.ceil((1.0 - r) * 256))
+        bits = jax.random.bits(key, (hb, lq, lk), dtype=jnp.uint8)
+        return (bits < t).astype(dtype) * jnp.asarray(256.0 / t, dtype)
+
+    def gen_u8cmp_threefry(key, hb, lq, lk, r, dtype=jnp.bfloat16):
+        # convert the key to threefry first (fast in isolation, slower
+        # in-step — the conversion defeats XLA's rbg/compute overlap)
+        if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+            data = jax.random.key_data(key).ravel()
+            key = jax.random.wrap_key_data(data[:2], impl="threefry2x32")
+        return gen_u8cmp_given_key(key, hb, lq, lk, r, dtype)
 
     orig = t5a.make_dropout_mask
     variants = {
-        "r3_bernoulli_rbgkey": gen_rbg_bernoulli,
-        "shipped_u8_threefry": orig,  # r4: key→threefry + u8 compare
+        # the SHIPPED implementation: bernoulli on the given key (fastest
+        # in-step of everything measured — the retirement rationale)
+        "bernoulli_given_key": orig,
+        "u8cmp_given_key": gen_u8cmp_given_key,
+        "u8cmp_threefry_converted": gen_u8cmp_threefry,
     }
     RES["train_step"] = {}
     try:
@@ -161,7 +172,10 @@ def main():
         print("xla off:", RES["train_step"]["xla_off_drop1"], flush=True)
         for name, fn in variants.items():
             t5a.make_dropout_mask = fn
-            RES["train_step"][f"fused_{name}"] = step_time("auto")
+            # "on" — the shipped "auto" gate excludes dropout configs
+            # (that retirement is this experiment's conclusion), so the
+            # fused path must be forced to measure it
+            RES["train_step"][f"fused_{name}"] = step_time("on")
             print(f"fused {name}:", RES["train_step"][f"fused_{name}"],
                   flush=True)
     finally:
