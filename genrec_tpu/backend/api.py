@@ -493,7 +493,22 @@ ROUTES: List[Tuple[str, str, Handler]] = [
 # file-upload router and the repo's live recommend/courses routes are
 # /api/v1-only, matching `main.py:53-55`.
 _LEGACY_GROUPS = ("chat", "text-organization", "ppt", "homework",
-                  "learning-path", "lesson-plan")
+                  "learning-path", "lesson-plan",
+                  "ppt-creation", "homework-grading",
+                  "homework_grading", "learning_path")
+
+# the reference's router prefixes are `/ppt-creation` and
+# `/homework-grading` (`ppt_creation.py:17`, `homework_grading.py:16`),
+# and `main.py:53-54` additionally double-mounts underscore spellings
+# `/api/v1/learning_path` and `/api/v1/homework_grading`. This repo's
+# route table uses the short segments; normalize all reference spellings
+# onto them so real reference clients don't 404.
+_SEGMENT_ALIASES = {
+    "ppt-creation": "ppt",
+    "homework-grading": "homework",
+    "homework_grading": "homework",
+    "learning_path": "learning-path",
+}
 
 
 def match_route(method: str, path: str
@@ -501,11 +516,13 @@ def match_route(method: str, path: str
     """Match a concrete path against the template table. Static segments
     must equal; `{name}` segments capture. Legacy `/api/<group>/...` paths
     resolve to their `/api/v1` route for the groups the reference
-    double-mounts."""
+    double-mounts, and reference segment spellings alias onto the table's."""
     parts = [s for s in path.split("/") if s != ""]
     if (len(parts) >= 2 and parts[0] == "api" and parts[1] != "v1"
             and parts[1] in _LEGACY_GROUPS):
         parts = ["api", "v1"] + parts[1:]
+    if len(parts) >= 3 and parts[0] == "api" and parts[1] == "v1":
+        parts[2] = _SEGMENT_ALIASES.get(parts[2], parts[2])
     for m, template, handler in ROUTES:
         if m != method:
             continue

@@ -19,7 +19,7 @@ import json
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Any, Dict, Optional, Tuple
-from urllib.parse import parse_qsl, urlsplit
+from urllib.parse import parse_qsl, unquote, urlsplit
 
 from genrec_tpu.backend.api import AppContext, match_route
 from genrec_tpu.backend.utils import ApiError, error_response, get_logger
@@ -105,7 +105,10 @@ class _Handler(BaseHTTPRequestHandler):
         root = self.server.ctx.settings.resolved_static_dir()
         if not os.path.isdir(root):
             return False
-        rel = urlsplit(self.path).path[len("/static/"):]
+        # percent-decode BEFORE joining so encoded names (spaces, unicode)
+        # resolve; the containment check below runs on the decoded path, so
+        # an encoded '..' cannot sidestep it.
+        rel = unquote(urlsplit(self.path).path[len("/static/"):])
         target = os.path.abspath(os.path.join(root, rel))
         # refuse path traversal out of the mount
         if not (target == root or target.startswith(root + os.sep)) \

@@ -49,8 +49,14 @@ class SASRecBlock(nn.Module):
         q = nn.Dense(self.d)(h)
         k = nn.Dense(self.d)(h)
         v = nn.Dense(self.d)(h)
+        # attention-WEIGHT dropout reproduces the reference's
+        # `nn.MultiheadAttention(self.d, num_heads, dropout)` semantics
+        # (`SASRec/model.py:31-32`) — same fix as the TIGER-prefix adapters.
+        drop = not deterministic and self.dropout > 0.0
         attn = (self.attn_fn or multi_head_attention)(
-            q, k, v, num_heads=self.num_heads, causal=True)
+            q, k, v, num_heads=self.num_heads, causal=True,
+            dropout_rate=self.dropout if drop else 0.0,
+            dropout_rng=self.make_rng("dropout") if drop else None)
         attn = nn.Dense(self.d)(attn)  # output projection (torch MHA out_proj)
         x = x + attn
 

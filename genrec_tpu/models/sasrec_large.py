@@ -129,7 +129,12 @@ class SASRecLarge(nn.Module):
             from genrec_tpu.ops.ring_attention import ring_multi_head_attention
             mesh, axis, baxis = self.mesh, self.ctx_axis, self.ctx_batch_axis
 
-            def attn_fn(q, k, v, *, num_heads, causal=True):
+            def attn_fn(q, k, v, *, num_heads, causal=True,
+                        dropout_rate=0.0, dropout_rng=None):
+                # ring attention has no attention-weight dropout path;
+                # accept (and ignore) the kwargs so the shared SASRecBlock
+                # can pass them uniformly.
+                del dropout_rate, dropout_rng
                 return ring_multi_head_attention(
                     q, k, v, mesh, num_heads=num_heads, axis_name=axis,
                     causal=causal, batch_axis=baxis)

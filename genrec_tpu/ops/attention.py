@@ -620,6 +620,13 @@ def flash_attention(q, k, v, bias=None, *, causal: bool = False,
     assert lq % 128 == 0 and lk % 128 == 0, (
         f"flash_attention needs Lq/Lk multiples of 128, got ({lq}, {lk}); "
         "pad the sequence — a full-length block would blow VMEM")
+    # The Pallas kernels mask `col > row` with NO (lk - lq) offset, unlike
+    # _xla_attention's `col > row + (lk - lq)` — for lq != lk the two paths
+    # would silently disagree on which diagonal is causal. Guard it loudly.
+    assert not causal or lq == lk, (
+        f"causal flash_attention requires lq == lk (got {lq} vs {lk}); "
+        "the kernel masks the main diagonal, not the lk-lq-offset one — "
+        "use force_pallas=False for causal cross-length attention")
     abq, abk = _auto_blocks(lq, lk, d)
     block_q = abq if block_q is None else block_q
     block_k = abk if block_k is None else block_k

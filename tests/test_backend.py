@@ -362,7 +362,11 @@ def test_recommend_route_with_recommender_and_db_history():
 
 
 def test_fastapi_adapter_parity():
-    fastapi = pytest.importorskip("fastapi")
+    fastapi = pytest.importorskip(
+        "fastapi",
+        reason="fastapi is not in this image (verified: ModuleNotFoundError; "
+               "pip install is disallowed). The stdlib adapter exercises the "
+               "same shared handler table, so only adapter glue is untested.")
     from fastapi.testclient import TestClient
     from genrec_tpu.backend.server import create_fastapi_app
     c = _ctx()
@@ -390,6 +394,23 @@ def test_legacy_api_prefix():
     assert match_route("GET", "/api/v1/chat/suggestions") is not None
 
 
+def test_reference_segment_aliases():
+    """The reference's router prefixes are `/ppt-creation` and
+    `/homework-grading` (`ppt_creation.py:17`, `homework_grading.py:16`),
+    double-mounted at both /api/v1 and /api, plus underscore spellings
+    `/api/v1/homework_grading` and `/api/v1/learning_path`
+    (`main.py:53-54`). All must resolve onto the repo's handler table."""
+    for path in (
+        "/api/v1/ppt-creation/templates", "/api/ppt-creation/templates",
+        "/api/v1/homework-grading/list", "/api/homework-grading/list",
+        "/api/v1/homework_grading/list",
+        "/api/v1/learning_path/paths",
+    ):
+        assert match_route("GET", path) is not None, path
+    assert match_route("POST", "/api/ppt-creation/create") is not None
+    assert match_route("POST", "/api/homework-grading/submit") is not None
+
+
 def test_legacy_prefix_over_http(server):
     status, sugg = _call(server, "GET", "/api/chat/suggestions")
     assert status == 200
@@ -401,6 +422,7 @@ def test_static_mount(tmp_path):
     (tmp_path / "sub").mkdir()
     (tmp_path / "index.html").write_text("<html>frontend</html>")
     (tmp_path / "sub" / "app.js").write_text("console.log(1)")
+    (tmp_path / "my asset 图.js").write_text("ok")
     db = Database(":memory:")
     db.create_all()
     ctx = AppContext(settings=Settings(static_dir=str(tmp_path)), db=db,
@@ -417,8 +439,16 @@ def test_static_mount(tmp_path):
         with urllib.request.urlopen(
                 f"http://127.0.0.1:{port}/static/sub/app.js", timeout=10) as r:
             assert r.status == 200
-        # missing file and traversal out of the mount both 404
-        for bad in ("/static/nope.css", "/static/../test_backend.py"):
+        # percent-encoded names (spaces, unicode) must decode before join
+        enc = urllib.parse.quote("my asset 图.js")
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/static/{enc}", timeout=10) as r:
+            assert r.status == 200 and r.read() == b"ok"
+        # missing file and traversal out of the mount both 404 — including
+        # an ENCODED traversal (decode must happen before the containment
+        # check, not after)
+        for bad in ("/static/nope.css", "/static/../test_backend.py",
+                    "/static/%2e%2e/test_backend.py"):
             try:
                 urllib.request.urlopen(f"http://127.0.0.1:{port}{bad}",
                                        timeout=10)

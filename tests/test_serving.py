@@ -162,7 +162,11 @@ def test_app_db_etl(tmp_path):
 
 
 def test_fastapi_app():
-    fastapi = pytest.importorskip("fastapi")
+    fastapi = pytest.importorskip(
+        "fastapi",
+        reason="fastapi is not in this image (verified: ModuleNotFoundError; "
+               "pip install is disallowed). The stdlib adapter exercises the "
+               "same shared handler table, so only adapter glue is untested.")
     from fastapi.testclient import TestClient
     from genrec_tpu.serving.app import create_app
     cat = _catalog()
