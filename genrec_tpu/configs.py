@@ -66,6 +66,14 @@ class TrainerConfig:
     # when set, Trainer.fit captures ONE jax.profiler trace of the second
     # (post-compile) training epoch into this directory
     profile_dir: Optional[str] = None
+    # Dataset placement mode. None = auto: shard the device-resident
+    # datasets along the mesh 'data' axis whenever jax.process_count() > 1
+    # (each host then holds only its slice; batches gather device-locally
+    # via shard_map — no cross-device traffic). True forces the sharded
+    # path on one process (used to prove 1-process == 2-process bitwise);
+    # False forces the replicated path (every device holds the full
+    # dataset, single-process default).
+    shard_dataset: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -296,6 +304,17 @@ class ShardedEmbeddingConfig:
     dim: int = 64
     ids_per_device_capacity: int = 8192  # fixed all_to_all bucket capacity
     dtype: str = "float32"
+
+    def preferred_lookup(self, capacity_factor: float = 2.0) -> str:
+        """Measured byte-crossover rule (artifacts/lookup_comms_r3.json):
+        per device, psum moves ≈2·(M−1)/M·n·D floats (ring all-reduce of
+        the assembled rows), a2a ≈(M−1)/M·c·n·(D+1) (c·n id slots out +
+        c·n rows back) — a2a wins bytes iff the capacity factor
+        c < 2·D/(D+1); at the default c=2 it is a wash and psum's
+        simplicity wins."""
+        return ("alltoall"
+                if capacity_factor < 2.0 * self.dim / (self.dim + 1.0)
+                else "psum")
 
 
 @dataclasses.dataclass(frozen=True)

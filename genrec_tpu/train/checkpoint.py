@@ -59,7 +59,17 @@ class CheckpointStore:
 
 
 def abstract_like(tree):
-    """Abstract pytree for orbax restore from a concrete template."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-        if hasattr(x, "shape") else x, tree)
+    """Abstract pytree for orbax restore from a concrete template.
+
+    Carries each leaf's sharding when the template holds placed
+    `jax.Array`s, so orbax restores straight into the live layout — on a
+    multi-process mesh this is REQUIRED (each process must restore only
+    its addressable shards), and on one process it silences orbax's
+    "Sharding info not provided" topology warning."""
+    def ab(x):
+        if isinstance(x, jax.Array):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+        if hasattr(x, "shape"):
+            return jax.ShapeDtypeStruct(x.shape, x.dtype)
+        return x
+    return jax.tree_util.tree_map(ab, tree)

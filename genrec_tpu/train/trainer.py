@@ -71,6 +71,8 @@ class Trainer:
         train_data_buckets: Optional[List[Dict[str, np.ndarray]]] = None,
         val_data: Optional[Dict[str, np.ndarray]] = None,
         extra_data: Optional[Dict[str, np.ndarray]] = None,
+        train_rows: Optional[int] = None,
+        val_rows: Optional[int] = None,
     ):
         """``train_data``/``val_data`` enable *device-resident* datasets:
         the full arrays are uploaded once and each step gathers its batch
@@ -81,7 +83,20 @@ class Trainer:
         factories. ``extra_data`` holds non-per-sample device tables
         (e.g. item embedding matrices) delivered to the loss under
         ``batch['_extra']`` — also passed as jit arguments rather than
-        being baked in as constants."""
+        being baked in as constants.
+
+        Dataset placement has two modes (``cfg.shard_dataset``; auto-on
+        across processes): REPLICATED (every device holds the full arrays,
+        batches gather by global index — single-process default) and
+        ROW-SHARDED (arrays split along the mesh 'data' axis, each batch
+        position gathering from ITS device's resident rows inside a
+        shard_map — zero gather traffic, and each process materializes
+        only its slice). In sharded mode ``train_data``/``val_data``
+        values may also be pre-placed global ``jax.Array``s built by a
+        per-host loader (`parallel.mesh.make_global_array(...,
+        process_local=True)` over its `parallel.mesh.process_rows`
+        slice); pass ``train_rows``/``val_rows`` = the REAL global row
+        count when the placed arrays carry padding rows."""
         self.cfg = cfg
         self.loss_fn = loss_fn
         self.eval_loss_fn = eval_loss_fn or loss_fn
@@ -108,11 +123,30 @@ class Trainer:
         self.store = CheckpointStore(cfg.ckpt_dir, keep=cfg.keep_checkpoints)
         self.batch_sharding = batch_sharding
         self.replicate_sharding = replicate_sharding
-        if batch_sharding is not None and hasattr(batch_sharding, "mesh"):
-            d = dict(batch_sharding.mesh.shape).get("data", 1)
+        _some_sh = (next(iter(batch_sharding.values()), None)
+                    if isinstance(batch_sharding, dict) else batch_sharding)
+        self._mesh = getattr(_some_sh, "mesh",
+                             getattr(replicate_sharding, "mesh", None))
+        self._data_axis = (dict(self._mesh.shape).get("data", 1)
+                           if self._mesh is not None else 1)
+        if batch_sharding is not None and self._mesh is not None:
+            d = self._data_axis
             assert cfg.batch_size % d == 0 and cfg.eval_batch_size % d == 0, (
                 f"batch sizes ({cfg.batch_size}/{cfg.eval_batch_size}) must "
                 f"divide the data axis ({d}) — padded batches shard evenly")
+        # sharded-dataset mode: auto on multi-process (a host-global
+        # replicated dataset cannot scale past one host's memory, and
+        # device_put of host-global arrays is exactly what multi-host
+        # setups must avoid); force with cfg.shard_dataset for tests.
+        self._shard_data = (cfg.shard_dataset if cfg.shard_dataset is not None
+                            else jax.process_count() > 1)
+        if self._shard_data:
+            assert self._mesh is not None and self._data_axis >= 1, (
+                "sharded-dataset mode needs a mesh: pass batch_sharding/"
+                "replicate_sharding built over a ('data','model') mesh")
+        if jax.process_count() > 1:
+            assert self._mesh is not None, (
+                "multi-process training requires a mesh (dp_shardings)")
         if param_shardings is not None:
             # tensor-parallel layout: place each param per its rule, then
             # re-init the optimizer from the placed tree so mu/nu inherit
@@ -146,11 +180,51 @@ class Trainer:
         # 'data' sharding, so grads/optimizer run data-parallel without
         # falling back to per-batch host dispatch.
         self._train_data = self._val_data = None
+        # (real_rows, rows_per_data_shard) per dataset — drives the index
+        # matrices; None means the replicated path (real_rows == len(arr))
+        self._train_meta = self._val_meta = None
+        self._bucket_meta: Optional[List] = None
 
-        def _put_dataset(data):
+        def _put_replicated(data):
             return {k: jax.device_put(v, self.replicate_sharding)
                     if self.replicate_sharding is not None else jax.device_put(v)
                     for k, v in data.items()}
+
+        def _put_dataset(data, rows: Optional[int] = None):
+            """Place a dataset dict; returns (device_dict, meta).
+
+            Replicated mode: full arrays on every device, meta=None.
+            Sharded mode: rows padded to a multiple of the data axis and
+            split across it; already-placed global jax.Arrays pass through
+            (the per-host-loader path), with ``rows`` giving the real
+            global count when the placed arrays carry padding."""
+            if not self._shard_data:
+                return _put_replicated(data), None
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            D = self._data_axis
+            row_sh = NamedSharding(self._mesh, P("data"))
+            out = {}
+            n_pad = None
+            for k, v in data.items():
+                if isinstance(v, jax.Array) and v.sharding.mesh == self._mesh:
+                    out[k] = v  # pre-placed by a per-host loader
+                    n_here = v.shape[0]
+                else:
+                    v = np.asarray(v)
+                    pad = (-len(v)) % D
+                    if pad:
+                        v = np.concatenate(
+                            [v, np.zeros((pad,) + v.shape[1:], v.dtype)])
+                    out[k] = jax.device_put(v, row_sh)
+                    n_here = len(v)
+                assert n_pad is None or n_pad == n_here, (
+                    f"dataset arrays disagree on padded rows: {n_pad} vs "
+                    f"{n_here} ({k})")
+                n_pad = n_here
+            n_real = rows if rows is not None else len(
+                next(iter(data.values())))
+            assert n_real <= n_pad, (n_real, n_pad)
+            return out, (n_real, n_pad // D)
 
         def _constrain(batch):
             if self.batch_sharding is None:
@@ -166,7 +240,7 @@ class Trainer:
                 out[k] = jax.lax.with_sharding_constraint(v, sh)
             return out
 
-        self._extra_data = (_put_dataset(extra_data)
+        self._extra_data = (_put_replicated(extra_data)
                             if extra_data is not None else None)
         self._train_buckets = None
         if train_data_buckets is not None:
@@ -177,15 +251,44 @@ class Trainer:
             # make per-bucket the TPU-idiomatic equivalent). One scan per
             # bucket per epoch; jit re-specializes per bucket shape.
             assert train_data is None, "pass buckets OR a flat dataset"
-            self._train_buckets = [_put_dataset(d) for d in train_data_buckets]
+            placed = [_put_dataset(d) for d in train_data_buckets]
+            self._train_buckets = [p[0] for p in placed]
+            self._bucket_meta = [p[1] for p in placed]
             train_data = train_data_buckets[0]  # defines the epoch fn below
+        def _take_rows(data, idx):
+            """Batch-row gather. Replicated mode: global jnp.take.
+            Sharded mode: each device's block of batch positions is
+            filled from ITS resident rows inside a shard_map (the
+            index matrices route shard-owned row ids to shard-owned
+            batch slots, so the gather is device-local — no
+            collectives)."""
+            if not self._shard_data:
+                return {k: jnp.take(v, jnp.maximum(idx, 0), axis=0)
+                        for k, v in data.items()}
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+            keys = sorted(data.keys())
+
+            def local(idx_loc, *arrs):
+                d = jax.lax.axis_index("data")
+                nloc = arrs[0].shape[0]
+                li = jnp.clip(idx_loc - d * nloc, 0, nloc - 1)
+                return tuple(jnp.take(a, li, axis=0) for a in arrs)
+
+            outs = shard_map(
+                local, mesh=self._mesh,
+                in_specs=(P("data"),) + (P("data"),) * len(keys),
+                out_specs=(P("data"),) * len(keys),
+            )(idx, *(data[k] for k in keys))
+            return dict(zip(keys, outs))
+
         if train_data is not None:
             if self._train_buckets is None:
-                self._train_data = _put_dataset(train_data)
+                self._train_data, self._train_meta = _put_dataset(
+                    train_data, train_rows)
 
             def _gather(data, idx, extra):
-                batch = {k: jnp.take(v, jnp.maximum(idx, 0), axis=0)
-                         for k, v in data.items()}
+                batch = _take_rows(data, idx)
                 batch["valid"] = idx >= 0
                 if extra is not None:
                     batch["_extra"] = extra
@@ -212,13 +315,12 @@ class Trainer:
 
             self._train_epoch_fn = jax.jit(train_epoch, donate_argnums=(0, 1))
         if val_data is not None:
-            self._val_data = _put_dataset(val_data)
+            self._val_data, self._val_meta = _put_dataset(val_data, val_rows)
 
             def eval_epoch(params, idx_mat, rng, data, extra):
                 def body(rng, idx):
                     rng, sub = jax.random.split(rng)
-                    batch = {k: jnp.take(v, jnp.maximum(idx, 0), axis=0)
-                             for k, v in data.items()}
+                    batch = _take_rows(data, idx)
                     batch["valid"] = idx >= 0
                     if extra is not None:
                         batch["_extra"] = extra
@@ -260,10 +362,19 @@ class Trainer:
     def _put(self, batch: Dict[str, np.ndarray]):
         if self.batch_sharding is None:
             return batch
-        return {k: jax.device_put(v, self.batch_sharding.get(k)
-                                  if isinstance(self.batch_sharding, dict)
-                                  else self.batch_sharding)
-                for k, v in batch.items()}
+
+        def one(k, v):
+            sh = (self.batch_sharding.get(k)
+                  if isinstance(self.batch_sharding, dict)
+                  else self.batch_sharding)
+            if jax.process_count() > 1:
+                # factory path across processes: each process's iterator
+                # yields ITS local rows of the global batch
+                from genrec_tpu.parallel.mesh import make_global_array
+                return make_global_array(v, sh, process_local=True)
+            return jax.device_put(v, sh)
+
+        return {k: one(k, v) for k, v in batch.items()}
 
     # ------------------------------------------------------------------
     @staticmethod
@@ -278,6 +389,45 @@ class Trainer:
         out[:n] = idx
         return out.reshape(steps, batch_size)
 
+    @staticmethod
+    def _index_matrix_sharded(n_real: int, n_loc: int, d_axis: int,
+                              batch_size: int, *, shuffle: bool,
+                              seed: int) -> np.ndarray:
+        """Index matrix for the row-SHARDED dataset layout: batch columns
+        [d·B/D, (d+1)·B/D) may only carry row ids resident on data-shard d
+        (rows [d·n_loc, (d+1)·n_loc)), so the device-local shard_map gather
+        is exact. Each shard shuffles ITS rows independently — the
+        per-host-file shuffle every multi-host input pipeline has — and the
+        construction depends only on (n_real, n_loc, D, B, seed), so a
+        1-process and an N-process run produce IDENTICAL batches
+        (tests/test_multihost.py asserts bitwise loss equality)."""
+        bloc = batch_size // d_axis
+        # shard d's real rows: the global pad-to-multiple-of-D tail lives
+        # at the end, i.e. entirely in the trailing shards
+        reals = [min(max(n_real - d * n_loc, 0), n_loc)
+                 for d in range(d_axis)]
+        steps = max(1, -(-max(reals) // bloc))
+        out = np.full((steps, batch_size), -1, np.int32)
+        for d in range(d_axis):
+            ids = np.arange(reals[d], dtype=np.int32)
+            if shuffle:
+                np.random.default_rng(seed * 9973 + d).shuffle(ids)
+            stream = np.full((steps * bloc,), -1, np.int32)
+            stream[:reals[d]] = ids + d * n_loc
+            out[:, d * bloc:(d + 1) * bloc] = stream.reshape(steps, bloc)
+        return out
+
+    def _epoch_indices(self, meta, n_fallback: int, batch_size: int, *,
+                       shuffle: bool, seed: int) -> np.ndarray:
+        """Dispatch flat vs sharded index construction for one dataset."""
+        if meta is None:
+            return self._index_matrix(n_fallback, batch_size,
+                                      shuffle=shuffle, seed=seed)
+        n_real, n_loc = meta
+        return self._index_matrix_sharded(n_real, n_loc, self._data_axis,
+                                          batch_size, shuffle=shuffle,
+                                          seed=seed)
+
     def evaluate_loss(self, batches: Optional[Iterator[Dict[str, np.ndarray]]],
                       rng: jax.Array) -> float:
         """Per-valid-sample mean validation loss (SASRec/train.py:59-81 style)."""
@@ -285,8 +435,9 @@ class Trainer:
         # pipeline full instead of blocking per batch)
         if self._val_data is not None:
             n = len(next(iter(self._val_data.values())))
-            idx_mat = self._index_matrix(n, self.cfg.eval_batch_size,
-                                         shuffle=False, seed=0)
+            idx_mat = self._epoch_indices(self._val_meta, n,
+                                          self.cfg.eval_batch_size,
+                                          shuffle=False, seed=0)
             sl, vl = self._eval_epoch_fn(self.params, idx_mat, rng,
                                          self._val_data, self._extra_data)
             total, valid = float(sl), float(vl)
@@ -361,12 +512,14 @@ class Trainer:
                 # the length-HOMOGENEOUS batch composition itself, which
                 # static per-bucket shapes cannot avoid — hence buckets
                 # stay opt-in rather than default.
+                metas = (self._bucket_meta if self._train_buckets
+                         else [self._train_meta])
                 work = []  # (bucket_idx, idx_chunk)
                 for bi, data in enumerate(buckets):
                     n = len(next(iter(data.values())))
                     # bi=0 single-bucket seed matches the pre-bucketing path
-                    idx_mat = self._index_matrix(
-                        n, cfg.batch_size, shuffle=True,
+                    idx_mat = self._epoch_indices(
+                        metas[bi], n, cfg.batch_size, shuffle=True,
                         seed=cfg.seed + epoch + bi * 1000003)
                     k = 1 if len(buckets) == 1 else max(1, min(
                         cfg.bucket_interleave_chunks, idx_mat.shape[0]))
@@ -464,7 +617,8 @@ class Trainer:
                     break
 
         self.store.wait()
-        plot_loss_curves(train_losses, val_losses, cfg.loss_plot_path)
+        if jax.process_index() == 0:  # one writer per shared filesystem
+            plot_loss_curves(train_losses, val_losses, cfg.loss_plot_path)
         steady_examples = total_examples - first_epoch_examples
         steady_time = phase["train"] - first_epoch_s
         steady_eps = (steady_examples / steady_time if steady_time > 0

@@ -99,6 +99,71 @@ def test_bucketed_training_matches_flat(tmp_path):
     assert result.val_losses[-1] < 0.05
 
 
+def test_sharded_dataset_mode(tmp_path):
+    """cfg.shard_dataset=True: datasets split along the 8-device data axis,
+    batches gather device-locally (shard_map), per-shard shuffled indices.
+    Must converge like the replicated path, and the validation sum must
+    equal the replicated run's (same row set; order-independent sum) —
+    n=250 exercises the pad-to-multiple-of-8 tail and -1 index slots."""
+    from genrec_tpu.parallel.auto import dp_shardings
+    data, params, loss_fn = _linear_regression_setup(n=250)
+    mesh, bs, rs = dp_shardings()
+    assert mesh is not None  # conftest forces 8 CPU devices
+    cfg = TrainerConfig(epochs=20, batch_size=64, lr=0.1, shard_dataset=True,
+                        ckpt_dir=str(tmp_path / "s"), early_stop_patience=50)
+    tr = Trainer(cfg, init_params=params, loss_fn=loss_fn,
+                 batch_sharding=bs, replicate_sharding=rs,
+                 train_data=data, val_data=data)
+    r = tr.fit()
+    assert r.train_losses[-1] < 0.05
+
+    # validation-loss equality vs the replicated path on identical params
+    cfg2 = dataclasses.replace(cfg, shard_dataset=False,
+                               ckpt_dir=str(tmp_path / "r"))
+    t_sh = Trainer(cfg, init_params=params, loss_fn=loss_fn,
+                   batch_sharding=bs, replicate_sharding=rs,
+                   train_data=data, val_data=data)
+    t_re = Trainer(cfg2, init_params=params, loss_fn=loss_fn,
+                   batch_sharding=bs, replicate_sharding=rs,
+                   train_data=data, val_data=data)
+    key = jax.random.PRNGKey(0)
+    np.testing.assert_allclose(t_sh.evaluate_loss(None, key),
+                               t_re.evaluate_loss(None, key), rtol=1e-5)
+
+
+def test_sharded_dataset_buckets(tmp_path):
+    """shard_dataset composes with length-bucketed epochs: each bucket is
+    independently padded + row-sharded and indexed per shard."""
+    from genrec_tpu.parallel.auto import dp_shardings
+    data, params, loss_fn = _linear_regression_setup(n=230)
+    mesh, bs, rs = dp_shardings()
+    cfg = TrainerConfig(epochs=20, batch_size=64, lr=0.1, shard_dataset=True,
+                        ckpt_dir=str(tmp_path / "sb"), early_stop_patience=50)
+    buckets = [{k: v[:101] for k, v in data.items()},
+               {k: v[101:] for k, v in data.items()}]
+    tr = Trainer(cfg, init_params=params, loss_fn=loss_fn,
+                 batch_sharding=bs, replicate_sharding=rs,
+                 train_data_buckets=buckets, val_data=data)
+    r = tr.fit()
+    assert r.train_losses[-1] < 0.05
+
+
+def test_sharded_index_matrix_routing():
+    """Every id the sharded index matrix assigns to batch block d must be
+    resident on shard d, each real row appears exactly once, pads are -1."""
+    n_real, n_loc, D, B = 250, 32, 8, 64
+    mat = Trainer._index_matrix_sharded(n_real, n_loc, D, B,
+                                        shuffle=True, seed=7)
+    bloc = B // D
+    seen = []
+    for d in range(D):
+        block = mat[:, d * bloc:(d + 1) * bloc].ravel()
+        real = block[block >= 0]
+        assert ((real >= d * n_loc) & (real < (d + 1) * n_loc)).all(), d
+        seen.extend(real.tolist())
+    assert sorted(seen) == list(range(n_real))
+
+
 def test_bucket_by_target_len_partition():
     from genrec_tpu.data.datasets import bucket_by_target_len
     rng = np.random.default_rng(0)
