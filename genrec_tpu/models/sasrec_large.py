@@ -86,24 +86,32 @@ class SASRecLarge(nn.Module):
     grads-equality test and by single-device serving.
 
     ``lookup_impl`` selects the collective for sharded reads:
-    - ``"psum"`` (default): masked local gather + psum — differentiable,
-      the training path; per-device ICI traffic ≈ 2·(M−1)/M·B·D floats.
+    - ``"psum"``: masked local gather + psum; per-device ICI traffic
+      ≈ 2·(M−1)/M·B·D floats.
     - ``"alltoall"``: ID-partition exchange
-      (:func:`genrec_tpu.ops.embedding.alltoall_embedding_lookup`) —
-      forward-only, for EVAL/SERVING instances; traffic ≈
-      2·c·B/M·(D+1) floats per device (c = capacity factor), an
-      ~M/(2c)× byte saving that grows with the mesh. Overflowed ids
-      (traffic skew beyond c·B/M per shard) read as zero rows; size c
-      for the id distribution. Construct a separate module instance with
-      this flag for eval — training must keep ``"psum"`` (asserted).
+      (:func:`genrec_tpu.ops.embedding.alltoall_embedding_lookup`);
+      traffic ≈ (M−1)/M·c·B·(D+1) floats per device (c = capacity
+      factor). Differentiable — the shard_map transpose routes row
+      cotangents back through the reverse all_to_all (grad-equality
+      tested vs psum), so it trains too; ids overflowing a c·B/M bucket
+      read zero rows AND receive zero grads, so size c for the id
+      distribution (or keep psum under heavy skew).
+    - ``"auto"`` (default): the measured byte-crossover rule
+      (`ShardedEmbeddingConfig.preferred_lookup`): a2a iff
+      c < 2·D/(D+1), else psum.
     """
 
     item_num: int
     cfg: SASRecLargeConfig
     mesh: Mesh
     use_sharded: bool = True
-    lookup_impl: str = "psum"  # "psum" | "alltoall"
+    lookup_impl: str = "auto"  # "auto" | "psum" | "alltoall"
     alltoall_capacity: float = 2.0
+
+    def _resolved_lookup(self) -> str:
+        if self.lookup_impl != "auto":
+            return self.lookup_impl
+        return self.cfg.embedding.preferred_lookup(self.alltoall_capacity)
     # context parallelism: name of the mesh axis the SEQUENCE dimension is
     # sharded over. When set, every block's attention runs as an exact
     # ppermute ring (ops/ring_attention.py) — L/M tokens of K/V per device
@@ -148,7 +156,7 @@ class SASRecLarge(nn.Module):
     def embed(self, ids):
         """Pad-masked row gather (torch padding_idx=0 semantics,
         `SASRec/model.py:18`) through the sharded or replicated path."""
-        if self.use_sharded and self.lookup_impl == "alltoall":
+        if self.use_sharded and self._resolved_lookup() == "alltoall":
             e, _ok = alltoall_embedding_lookup(
                 self.item_table, ids, self.mesh,
                 capacity_factor=self.alltoall_capacity)
@@ -197,9 +205,9 @@ def train_loss_sampled(model: SASRecLarge, params, inputs, targets, rng,
 
     Returns (normalized loss, valid-timestep count).
     """
-    assert model.lookup_impl == "psum", (
-        "training requires the differentiable psum lookup; alltoall is the "
-        "forward-only eval/serving path (ops/embedding.py docstring)")
+    # both lookup impls are differentiable (alltoall's shard_map transpose
+    # is exact — ops/embedding.py docstring + the grad-equality test);
+    # under heavy id skew prefer psum, whose lookups never drop rows.
     drop_rng, neg_rng = jax.random.split(rng)
     # exclude the full rated set — history AND the shifted targets (the last
     # positive is absent from `inputs`), matching the reference's
@@ -218,11 +226,12 @@ def train_loss_sampled(model: SASRecLarge, params, inputs, targets, rng,
 
 
 def make_train_step(model: SASRecLarge, tx, cfg: SASRecLargeConfig,
-                    item_num: int):
-    """jit'd (params, opt_state, inputs, targets, rng) → (params, opt_state,
-    loss) with the table grads flowing through the sharded lookup."""
+                    item_num: int, jit: bool = True):
+    """(params, opt_state, inputs, targets, rng) → (params, opt_state,
+    loss) with the table grads flowing through the sharded lookup; jit'd
+    unless ``jit=False`` (callers that lower/compile it themselves, e.g.
+    the collective-bytes accounting of scripts/r5_dryrun_comms.py)."""
 
-    @jax.jit
     def step(params, opt_state, inputs, targets, rng):
         def loss_fn(p):
             loss, _ = train_loss_sampled(model, p, inputs, targets, rng,
@@ -235,4 +244,4 @@ def make_train_step(model: SASRecLarge, tx, cfg: SASRecLargeConfig,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return step
+    return jax.jit(step) if jit else step

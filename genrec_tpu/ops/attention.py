@@ -585,6 +585,20 @@ def _flash_bias_bwd(causal, block_q, block_k, interpret, res, do):
     # the Pallas gate never fires, so this path is a correctness net, not a
     # hot path; a blockwise dbias kernel can replace it if that changes.
     q, k, v, bias = res
+    # LOUD GUARD: at blocked-backward lengths this XLA recompute
+    # materializes the (B,H,Lq,Lk) score matrix — silently forfeiting the
+    # flash memory advantage the caller asked for. No current config hits
+    # this (t5_attention owns the fused biased path; long-context runs are
+    # unbiased); fail fast rather than degrade if one ever does.
+    lq, lk, dh = q.shape[2], k.shape[2], q.shape[3]
+    if _use_blocked_bwd(lq, lk, dh):
+        raise NotImplementedError(
+            f"biased flash backward at blocked-kernel scale (Lq={lq}, "
+            f"Lk={lk}, d={dh}): the fallback would rematerialize O(L²) "
+            "scores in XLA. Drop the bias (fold it into the inputs), use "
+            "ops/t5_attention.py for relative-position bias, or add a "
+            "dbias-blocked kernel (accumulate-into-output-ref pattern, "
+            "t5_attention.py) before enabling this configuration.")
     _, vjp = jax.vjp(lambda q_, k_, v_, b_: _xla_attention(q_, k_, v_, b_,
                                                            causal),
                      q, k, v, bias)

@@ -95,8 +95,28 @@ def alltoall_embedding_lookup(table: jnp.ndarray, ids: jnp.ndarray,
     Returns ``(embs, ok)`` where ``ok`` (bool, per id) is False for ids
     dropped by bucket overflow (skewed traffic) — callers either size
     ``capacity_factor`` generously or combine with the psum path as a
-    fallback for the ~0 overflow rows. Forward-only (serving/eval path);
-    training uses :func:`sharded_embedding_lookup`.
+    fallback for the ~0 overflow rows.
+
+    DIFFERENTIABLE w.r.t. ``table``: every float-path op has an exact
+    transpose that shard_map applies shard-locally — ``all_to_all``
+    transposes to the reverse ``all_to_all`` (rows' cotangents return to
+    their owner shard), the two ``take``s to deterministic scatter-adds,
+    and the ``ok``/``valid`` mask multiplies zero the cotangents of
+    overflow-dropped ids exactly as they zero the forward rows (a dropped
+    id contributes no gradient, consistent with reading a zero row).
+    Verified bit-exact against the psum path's grads in
+    `tests/test_parallel.py::test_alltoall_lookup_grads_match_psum`.
+    Backward traffic equals forward traffic (one reverse a2a of rows +
+    one of ids' cotangent slots), so the capacity rule below governs
+    training byte costs too.
+
+    Selection rule (measured, artifacts/lookup_comms_r3.json): per
+    device the psum path moves ≈2·(M−1)/M·n·D floats (ring all-reduce of
+    the assembled rows) and the a2a path ≈(M−1)/M·c·n·(D+1) (c·n id
+    slots out + c·n rows back) — a2a wins bytes iff c < 2D/(D+1) ≈ 2
+    (capacity factor, not mesh size, decides); at c=2 it is a wash and
+    psum's simplicity wins. `ShardedEmbeddingConfig.preferred_lookup`
+    encodes this rule for callers.
     """
     id_shape = ids.shape
     flat = ids.reshape(-1)

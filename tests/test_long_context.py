@@ -133,3 +133,20 @@ def test_cp_composes_with_sharded_table():
     out_full = jax.jit(lambda p, x: full.apply(p, x))(params_sh, ids_sh)
     np.testing.assert_allclose(np.asarray(out_full), np.asarray(out_ref),
                                atol=3e-5, rtol=3e-5)
+
+
+def test_biased_flash_bwd_guard_at_blocked_scale():
+    """A biased flash-attention backward at blocked-kernel lengths must
+    fail LOUDLY (NotImplementedError) instead of silently rematerializing
+    the O(L²) score matrix through the XLA fallback (VERDICT r4 weak #4)."""
+    from genrec_tpu.ops.attention import flash_attention
+
+    L, d = 4096, 16  # crosses _BWD_FULL_REF_BYTES_LIMIT
+    q = jnp.zeros((1, 1, L, d))
+    bias = jnp.zeros((1, 1, L, L))
+
+    def loss(q_):
+        return jnp.sum(flash_attention(q_, q_, q_, bias, interpret=True))
+
+    with pytest.raises(NotImplementedError, match="biased flash backward"):
+        jax.grad(loss)(q)

@@ -65,6 +65,68 @@ def test_sharded_embedding_lookup_grad(mesh_2x4):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
 
 
+def test_alltoall_lookup_grads_match_psum(mesh_2x4):
+    """The a2a lookup is DIFFERENTIABLE: shard_map transposes the
+    all_to_alls to their reverses and the takes to scatter-adds, so table
+    grads equal the psum path's (which equal the dense jnp.take's —
+    test_sharded_embedding_lookup_grad). Duplicated ids exercise the
+    scatter-ADD; capacity is sized so no id drops."""
+    V, D, B = 64, 8, 16
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(V, D)).astype(np.float32))
+    ids = jnp.asarray(rng.integers(0, V, size=(B,)), jnp.int32)
+    ids = ids.at[:4].set(ids[0])  # duplicates → scatter-add in the bwd
+    ids = jax.device_put(ids, NamedSharding(mesh_2x4, P("data")))
+    w = jnp.asarray(rng.normal(size=(B, D)).astype(np.float32))
+
+    def loss_psum(t):
+        ts = jax.device_put(t, NamedSharding(mesh_2x4, P("model", None)))
+        return jnp.sum(sharded_embedding_lookup(ts, ids, mesh_2x4) * w)
+
+    def loss_a2a(t):
+        ts = jax.device_put(t, NamedSharding(mesh_2x4, P("model", None)))
+        e, ok = alltoall_embedding_lookup(ts, ids, mesh_2x4,
+                                          capacity_factor=8.0)
+        return jnp.sum(e * w), ok
+
+    g1 = jax.jit(jax.grad(loss_psum))(table)
+    (_, ok), g2 = jax.jit(jax.value_and_grad(loss_a2a, has_aux=True))(table)
+    assert bool(jnp.all(ok))
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+
+def test_alltoall_overflow_grads_are_zero(mesh_2x4):
+    """Overflow-dropped ids read zero rows AND contribute zero grads — the
+    consistent pair (no silent gradient through a row that was never
+    read)."""
+    V, D = 32, 4
+    table = jnp.ones((V, D), jnp.float32)
+    # all ids in shard 0's range → guaranteed overflow at capacity 1
+    ids = jnp.zeros((16,), jnp.int32)
+    ids = jax.device_put(ids, NamedSharding(mesh_2x4, P("data")))
+
+    def loss(t):
+        ts = jax.device_put(t, NamedSharding(mesh_2x4, P("model", None)))
+        e, ok = alltoall_embedding_lookup(ts, ids, mesh_2x4,
+                                          capacity_factor=0.5)
+        return jnp.sum(e), ok
+
+    (val, ok), g = jax.jit(jax.value_and_grad(loss, has_aux=True))(table)
+    kept = int(jnp.sum(ok))
+    assert 0 < kept < 16  # some dropped, some kept
+    # grads land only on row 0, summing exactly one unit per KEPT id
+    np.testing.assert_allclose(float(jnp.sum(g)), kept * D)
+    np.testing.assert_allclose(np.asarray(g[1:]), 0.0)
+
+
+def test_sharded_embedding_config_lookup_rule():
+    from genrec_tpu.configs import ShardedEmbeddingConfig
+    c = ShardedEmbeddingConfig(dim=64)
+    assert c.preferred_lookup(2.0) == "psum"       # c=2 ≥ 2D/(D+1): wash
+    assert c.preferred_lookup(1.5) == "alltoall"   # under-provisioned c wins
+    assert ShardedEmbeddingConfig(dim=1).preferred_lookup(1.0) == "psum"
+
+
 def test_sharded_embedding_lookup_2d_ids(mesh_2x4):
     V, D = 16, 4
     table = jax.device_put(jax.random.normal(jax.random.PRNGKey(1), (V, D)),
