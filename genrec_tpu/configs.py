@@ -186,6 +186,21 @@ class T5ArchConfig:
     remat: bool = False  # rematerialize each block's activations in the
     # backward pass (jax.checkpoint) — trades ~1/3 more FLOPs for O(layers)
     # less activation HBM; for the scaled/long-context configs, not parity
+    # NARROW remat of just the dropout-attention core (logits→softmax→
+    # mask→·V): backward recomputes the score-shaped tensors and
+    # REGENERATES the dropout mask from its key instead of storing
+    # probs + mask residuals in HBM. MEASURED NEGATIVE at parity d64
+    # (artifacts/step_opt_r5.json, 2026-08-21): the recomputed logits/
+    # probs rematerialize in HBM during backward, so bytes RISE
+    # 4.8→6.0 GB/step and the step slows 13.5→16.7 ms — same failure
+    # mode as whole-block remat (remat_exp_r4.json). Kept as a flag
+    # because the trade flips when scores stop fitting alongside
+    # activations (long-context / larger L), with the measurement to
+    # re-run first.
+    attn_remat_dropout: bool = False
+    # same trade for the FFN relu→dropout core: bytes −3.5% but
+    # ms +2% at parity (step_opt_r5.json) — also off by default
+    ffn_remat_dropout: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

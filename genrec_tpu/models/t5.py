@@ -146,8 +146,34 @@ class T5Attention(nn.Module):
         beam search — wastes the dominant matmul of the step."""
         return self._split_heads(self.k(kv)), self._split_heads(self.v(kv))
 
+    def _cross_attend_beams(self, qh, kh, vh, bias, num_beams):
+        """Cross-attention with beams folded into the QUERY-LENGTH axis.
+
+        qh: (B·m, h, s, dkv) queries of m beams per sample; kh/vh:
+        (B, h, Le, dkv) UNREPEATED per-sample K/V. Instead of
+        materializing `jnp.repeat(K, m)` — which writes m copies of the
+        encoder K/V to HBM and re-reads them in every decode step (the
+        measured byte bulk of beam eval, artifacts/beam_roofline_r5.json)
+        — reshape q to (B, h, m·s, dkv) so one batched matmul against the
+        per-sample K covers all beams. T5 semantics: unscaled dot product.
+        ``bias`` broadcasts per sample ((B, 1, 1, Le) mask), identical
+        across beams by construction.
+        """
+        bm, h, s, dkv = qh.shape
+        b = bm // num_beams
+        q2 = (qh.reshape(b, num_beams, h, s, dkv)
+              .transpose(0, 2, 1, 3, 4).reshape(b, h, num_beams * s, dkv))
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q2, kh,
+                            preferred_element_type=jnp.float32)
+        if bias is not None:
+            logits = logits + bias
+        probs = jax.nn.softmax(logits, axis=-1).astype(vh.dtype)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
+        return (ctx.reshape(b, h, num_beams, s, dkv)
+                .transpose(0, 2, 1, 3, 4).reshape(bm, h, s, dkv))
+
     def __call__(self, x, kv, bias, *, deterministic: bool = True,
-                 kv_cache=None):
+                 kv_cache=None, kv_beams=None):
         c = self.cfg
         inner = c.num_heads * c.d_kv
         if isinstance(bias, AttnSpec) and kv_cache is None:
@@ -185,17 +211,38 @@ class T5Attention(nn.Module):
         b, _, lq, _ = qh.shape
         if isinstance(bias, AttnSpec):  # unreachable: T5Stack only builds
             raise ValueError("AttnSpec with kv_cache is unsupported")
+        if kv_cache is not None and kv_beams is not None and kv_beams > 1:
+            out = self._cross_attend_beams(qh, kh, vh, bias, kv_beams)
+            out = out.transpose(0, 2, 1, 3).reshape(b, lq, inner)
+            return self.o(out)
         if not deterministic and c.dropout_rate > 0.0:
             # attention-weight dropout (HF T5Attention): explicit-probs XLA
             # path so the dropout mask applies to the softmax weights.
-            # T5 convention: unscaled dot product.
-            logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
-                                preferred_element_type=jnp.float32)
-            if bias is not None:
-                logits = logits + bias
-            probs = jax.nn.softmax(logits, axis=-1)
-            probs = self.attn_drop(probs, deterministic=False)
-            out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(vh.dtype), vh)
+            # T5 convention: unscaled dot product. The dropout math below
+            # is flax nn.Dropout verbatim (bernoulli keep-mask on the
+            # 'dropout' stream, x/keep_prob where kept) — written out so
+            # the core can be jax.checkpoint'd: with attn_remat_dropout
+            # the backward RECOMPUTES logits/probs and REGENERATES the
+            # mask from `key` instead of storing the score-shaped
+            # probs + mask residuals in HBM (see configs.T5ArchConfig).
+            key = self.make_rng("dropout")
+            keep_prob = 1.0 - c.dropout_rate
+
+            def core(qh, kh, vh, bias, key):
+                logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                                    preferred_element_type=jnp.float32)
+                if bias is not None:
+                    logits = logits + bias
+                probs = jax.nn.softmax(logits, axis=-1)
+                keep = jax.random.bernoulli(key, keep_prob, probs.shape)
+                probs = jax.lax.select(
+                    keep, probs / keep_prob, jnp.zeros_like(probs))
+                return jnp.einsum("bhqk,bhkd->bhqd",
+                                  probs.astype(vh.dtype), vh)
+
+            if c.attn_remat_dropout:
+                core = jax.checkpoint(core)
+            out = core(qh, kh, vh, bias, key)
         else:
             # T5 uses an unscaled dot product; dot_product_attention divides
             # by sqrt(d_kv), so pre-scale q to cancel it.
@@ -208,8 +255,12 @@ class T5Attention(nn.Module):
 class T5FeedForward(nn.Module):
     cfg: T5ArchConfig
 
+    # `deterministic` is positional-friendly so nn.remat's static_argnums
+    # can reach it (T5Block.setup wraps this module when
+    # cfg.ffn_remat_dropout — backward then recomputes the d_ff-shaped
+    # relu/dropout residuals instead of storing them)
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
         c = self.cfg
         h = nn.Dense(c.d_ff, use_bias=False, name="wi", dtype=_cdtype(c),
                      kernel_init=nn.initializers.normal(stddev=c.d_model ** -0.5))(x)
@@ -236,11 +287,14 @@ class T5Block(nn.Module):
             self.cross_norm = RMSNorm(c.layer_norm_epsilon)
             self.cross_attn = T5Attention(c)
         self.ff_norm = RMSNorm(c.layer_norm_epsilon)
-        self.ff = T5FeedForward(c)
+        ff_cls = (nn.remat(T5FeedForward, static_argnums=(2,))
+                  if c.ffn_remat_dropout else T5FeedForward)
+        self.ff = ff_cls(c)
         self.drop = nn.Dropout(c.dropout_rate)
 
     def __call__(self, x, self_bias, enc_out=None, cross_mask=None,
-                 deterministic: bool = True, cross_kv=None):
+                 deterministic: bool = True, cross_kv=None,
+                 cross_kv_beams=None):
         # deterministic/cross_kv are positional-friendly so nn.remat's
         # static_argnums can reach `deterministic` (T5Stack.setup)
         drop = lambda t: self.drop(t, deterministic=deterministic)
@@ -251,9 +305,10 @@ class T5Block(nn.Module):
             h = self.cross_norm(x)
             x = x + drop(self.cross_attn(h, enc_out, cross_mask,
                                          deterministic=deterministic,
-                                         kv_cache=cross_kv))
+                                         kv_cache=cross_kv,
+                                         kv_beams=cross_kv_beams))
         h = self.ff_norm(x)
-        x = x + drop(self.ff(h, deterministic=deterministic))
+        x = x + drop(self.ff(h, deterministic))
         return x
 
 
@@ -280,8 +335,9 @@ class T5Stack(nn.Module):
         # remat: recompute each block in backward instead of saving its
         # activations — HBM is the usual TPU bottleneck, and at parity
         # d_model the MXU is underfed so the ~1/3 extra FLOPs are free.
-        # static_argnums=(5,) marks `deterministic` (arg 0 is the module).
-        block_cls = (nn.remat(T5Block, static_argnums=(5,)) if c.remat
+        # static_argnums marks `deterministic` and `cross_kv_beams`
+        # (arg 0 is the module) — both drive Python-level control flow.
+        block_cls = (nn.remat(T5Block, static_argnums=(5, 7)) if c.remat
                      else T5Block)
         self.blocks = [block_cls(c, self.is_decoder, name=f"block_{i}")
                        for i in range(self.num_layers)]
@@ -307,7 +363,7 @@ class T5Stack(nn.Module):
 
     def __call__(self, inputs_embeds, attention_mask=None, enc_out=None,
                  enc_mask=None, *, deterministic: bool = True,
-                 cross_kvs=None):
+                 cross_kvs=None, cross_kv_beams=None):
         lq = inputs_embeds.shape[1]
         if self._fused(deterministic) and cross_kvs is None:
             pos = self.rel_bias(lq, lq)[0]  # (H, Lq, Lq)
@@ -331,7 +387,8 @@ class T5Stack(nn.Module):
         x = self.drop(inputs_embeds, deterministic=deterministic)
         for i, block in enumerate(self.blocks):
             x = block(x, self_bias, enc_out, cross_mask, deterministic,
-                      None if cross_kvs is None else cross_kvs[i])
+                      None if cross_kvs is None else cross_kvs[i],
+                      cross_kv_beams)
         x = self.final_norm(x)
         return self.drop(x, deterministic=deterministic)
 
@@ -379,16 +436,24 @@ class T5EncoderDecoder(nn.Module):
         at every beam step — see `genrec_tpu.ops.beam_search`)."""
         return self.decoder.precompute_cross_kv(enc_out)
 
-    def decode_step(self, decoder_prefix_ids, cross_kvs, enc_mask=None):
+    def decode_step(self, decoder_prefix_ids, cross_kvs, enc_mask=None,
+                    num_beams=None):
         """Next-token logits (B, V) for a (B, steps_so_far) decoder prefix.
 
         Unlike :meth:`decode`, runs the stack only over the live prefix
         (position count grows with the step) and projects logits only at
         the final position; the encoder enters purely through the
-        precomputed ``cross_kvs``."""
+        precomputed ``cross_kvs``.
+
+        ``num_beams``: beam decoding passes the PER-SAMPLE ``cross_kvs``/
+        ``enc_mask`` (batch B) with a (B·num_beams, s) prefix — cross
+        attention folds the beams into its query-length axis instead of
+        materializing beam-repeated K/V (T5Attention._cross_attend_beams;
+        eliminates the dominant HBM traffic of beam eval,
+        artifacts/beam_roofline_r5.json)."""
         x = self.shared(decoder_prefix_ids)
         x = self.decoder(x, None, None, enc_mask, deterministic=True,
-                         cross_kvs=cross_kvs)
+                         cross_kvs=cross_kvs, cross_kv_beams=num_beams)
         return self.lm_logits(x[:, -1, :])
 
     def lm_logits(self, hidden):

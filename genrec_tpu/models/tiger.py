@@ -47,8 +47,10 @@ class TIGER(nn.Module):
     def precompute_cross_kv(self, enc_out):
         return self.model.precompute_cross_kv(enc_out)
 
-    def decode_step(self, decoder_prefix_ids, cross_kvs, enc_mask=None):
-        return self.model.decode_step(decoder_prefix_ids, cross_kvs, enc_mask)
+    def decode_step(self, decoder_prefix_ids, cross_kvs, enc_mask=None,
+                    num_beams=None):
+        return self.model.decode_step(decoder_prefix_ids, cross_kvs,
+                                      enc_mask, num_beams)
 
 
 def make_constraint(cfg: TIGERConfig,
@@ -84,18 +86,19 @@ def generate(model: TIGER, params, input_ids, attention_mask, *,
     B = input_ids.shape[0]
     enc_out = model.apply(params, input_ids, attention_mask,
                           method=TIGER.encode)
-    # cross-attention K/V: project once per SAMPLE, then broadcast to beams
-    # (num_beams× fewer projection FLOPs than projecting the repeated
-    # encoder output inside every decode step)
+    # cross-attention K/V: project once per SAMPLE and keep them
+    # per-sample — decode folds the beams into the cross-attention
+    # query-length axis (T5Attention._cross_attend_beams), so the K/V are
+    # never beam-repeated. The old `jnp.repeat(kv, num_beams)` was the
+    # measured byte bulk of beam eval: every decode step re-read the
+    # m-times-materialized encoder K/V from HBM
+    # (artifacts/beam_roofline_r5.json).
     cross_kvs = model.apply(params, enc_out, method=TIGER.precompute_cross_kv)
-    cross_kvs_rep = jax.tree_util.tree_map(
-        lambda t: jnp.repeat(t, num_beams, axis=0), cross_kvs)
-    mask_rep = (jnp.repeat(attention_mask, num_beams, axis=0)
-                if attention_mask is not None else None)
 
     def decode_fn(tokens, step):
-        return model.apply(params, tokens[:, :step + 1], cross_kvs_rep,
-                           mask_rep, method=TIGER.decode_step)
+        return model.apply(params, tokens[:, :step + 1], cross_kvs,
+                           attention_mask, num_beams,
+                           method=TIGER.decode_step)
 
     tokens, scores = beam_search(
         decode_fn, B, num_beams, cfg.max_gen_len, cfg.arch.vocab_size,

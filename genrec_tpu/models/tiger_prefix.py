@@ -116,8 +116,10 @@ class TIGERPrefix(nn.Module):
     def precompute_cross_kv(self, enc_out):
         return self.model.precompute_cross_kv(enc_out)
 
-    def decode_step(self, decoder_prefix_ids, cross_kvs, enc_mask=None):
-        return self.model.decode_step(decoder_prefix_ids, cross_kvs, enc_mask)
+    def decode_step(self, decoder_prefix_ids, cross_kvs, enc_mask=None,
+                    num_beams=None):
+        return self.model.decode_step(decoder_prefix_ids, cross_kvs,
+                                      enc_mask, num_beams)
 
 
 def generate(model: TIGERPrefix, params, input_ids, attention_mask,
@@ -129,15 +131,15 @@ def generate(model: TIGERPrefix, params, input_ids, attention_mask,
     enc_out, ext_mask = model.apply(
         params, input_ids, attention_mask, prof_lvl1, prof_lvl2, prof_lvl3,
         method=TIGERPrefix.encode_with_prefix)
+    # per-sample K/V + beam-folded cross attention — no beam-repeated K/V
+    # materialization (see models/tiger.generate)
     cross_kvs = model.apply(params, enc_out,
                             method=TIGERPrefix.precompute_cross_kv)
-    cross_kvs_rep = jax.tree_util.tree_map(
-        lambda t: jnp.repeat(t, num_beams, axis=0), cross_kvs)
-    mask_rep = jnp.repeat(ext_mask, num_beams, axis=0) if ext_mask is not None else None
 
     def decode_fn(tokens, step):
-        return model.apply(params, tokens[:, :step + 1], cross_kvs_rep,
-                           mask_rep, method=TIGERPrefix.decode_step)
+        return model.apply(params, tokens[:, :step + 1], cross_kvs,
+                           ext_mask, num_beams,
+                           method=TIGERPrefix.decode_step)
 
     return beam_search(
         decode_fn, B, num_beams, cfg.max_gen_len, cfg.arch.vocab_size,

@@ -9,7 +9,17 @@ max_length=5)` (`RQVAE-T5/model.py:62-81`) with a TPU-native design:
   reference scale — 4 decode calls total).
 - **No KV-cache bookkeeping**: the decoder re-attends over the fixed-width
   token buffer; causal masking makes positions > step inert. At d_model 64
-  × 4 steps this is cheaper than cache plumbing and keeps shapes static.
+  × 4 steps this is cheaper than cache plumbing and keeps shapes static —
+  MEASURED, not asserted: after the beam-folded cross-attention below,
+  bytes no longer bind the step (byte roofline 0.07 ms vs 6.0 ms
+  measured) and self-attention re-projection over ≤5 positions is not a
+  top op (artifacts/beam_roofline_r5.json `kv_cache_decision`).
+- **Beam-folded cross attention**: decode keeps the encoder K/V PER
+  SAMPLE and folds beams into the cross-attention query-length axis
+  (`models/t5.T5Attention._cross_attend_beams`) instead of materializing
+  `jnp.repeat(kv, beams)` — the repeat was the measured byte bulk of beam
+  eval (1.75 GB/call re-read every step); removing it took the bench
+  batch from 10.9 → 6.0 ms (23.6K → 42.6K seq/s).
 - **Constrained decoding** (improvement over the reference, which decodes
   unconstrained): ``level`` mode masks each step to its semantic-ID level
   range; ``trie`` mode walks a precomputed prefix-trie over the *actual*

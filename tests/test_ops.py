@@ -320,3 +320,40 @@ def test_flash_attention_blocked_bwd_matches_xla(causal, monkeypatch):
     for a, b_ in zip(g_pl, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    atol=3e-4, rtol=3e-4)
+
+
+def test_beam_folded_cross_attention_matches_repeated_kv():
+    """decode_step with PER-SAMPLE cross-K/V + num_beams (beams folded into
+    the cross-attention query-length axis) must equal the old formulation —
+    beam-REPEATED K/V and mask with no folding. The fold eliminates the
+    dominant HBM traffic of beam eval (artifacts/beam_roofline_r5.json)."""
+    import dataclasses
+
+    from genrec_tpu.configs import TIGERConfig, T5ArchConfig
+    from genrec_tpu.models.tiger import TIGER
+
+    base = TIGERConfig()
+    cfg = dataclasses.replace(base, arch=dataclasses.replace(
+        base.arch, num_layers=1, num_decoder_layers=2, d_model=16, d_ff=32,
+        num_heads=2, d_kv=8, dropout_rate=0.0), max_len=4)
+    model = TIGER(cfg)
+    B, m, seq = 3, 5, cfg.max_len * cfg.code_dim
+    rng = np.random.default_rng(0)
+    ii = jnp.asarray(rng.integers(1, 33, size=(B, seq)), jnp.int32)
+    am = jnp.asarray(rng.integers(0, 2, size=(B, seq)), jnp.int32)
+    am = am.at[:, -4:].set(1)  # keep at least some visible positions
+    lab = jnp.asarray(rng.integers(1, 33, size=(B, cfg.code_dim)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), ii, am, lab)
+
+    enc = model.apply(params, ii, am, method=TIGER.encode)
+    kvs = model.apply(params, enc, method=TIGER.precompute_cross_kv)
+    kvs_rep = jax.tree_util.tree_map(lambda t: jnp.repeat(t, m, axis=0), kvs)
+    am_rep = jnp.repeat(am, m, axis=0)
+    prefix = jnp.asarray(rng.integers(0, 33, size=(B * m, 3)), jnp.int32)
+
+    logits_rep = model.apply(params, prefix, kvs_rep, am_rep,
+                             method=TIGER.decode_step)
+    logits_fold = model.apply(params, prefix, kvs, am, m,
+                              method=TIGER.decode_step)
+    np.testing.assert_allclose(np.asarray(logits_fold),
+                               np.asarray(logits_rep), atol=2e-5, rtol=2e-5)
