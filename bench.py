@@ -29,14 +29,16 @@ Two round-3 findings shaped this measurement:
   score-shaped work that scales superlinearly in padded target length
   (13.1 ms at 156 padded tokens vs 4.7 ms at 80). Length-bucketed epochs
   (`datasets.bucket_by_target_len` + `Trainer(train_data_buckets=...)`)
-  cut that cost — but the round-4 quality grid
-  (`artifacts/bucket_quality_r4_interleaved.json`, 3 model seeds × 2
-  corpora) measures them 1.2-2.4% BELOW the flat-path Recall@10 means
-  even with chunk-interleaved bucket visiting, so the HEADLINE is the
-  flat-padded path and the bucketed rate is an opt-in "extra" row. The
-  bucketing speedup is also target-length-distribution dependent: ~2× on
-  this bench's uniform synthetic lengths, ~+10% on the real parity
-  corpus (`artifacts/bucket_quality_r3.json` end-to-end rates).
+  cut that cost — but are a CLOSED NEGATIVE RESULT for this workload:
+  the r4 quality grid measures them 1.2-2.4% BELOW the flat-path
+  Recall@10 means even chunk-interleaved (length-homogeneous batch
+  composition, `artifacts/bucket_quality_r4_interleaved.json`), and the
+  r5 composite-width mode (mixed-length batches at static widths,
+  `TIGERConfig.target_len_composite`) is measured quality-inconsistent
+  across corpora AND slower than flat at parity-corpus scale
+  (`artifacts/composite_quality_r5.json`). The HEADLINE is the flat
+  path; both alternatives remain available as config flags with their
+  measurements documented.
 
 Alongside ex/s we report FLOPs-based MFU so "fast for a tiny model" is
 quantified: FLOPs come from XLA's own cost model for the compiled epoch
@@ -381,13 +383,15 @@ def bench_sasrec_train(epochs: int = 4, steps: int = 50) -> float:
 def main() -> None:
     import jax
 
-    # HEADLINE = the flat-padded path: the r4 bucket-quality grid
-    # (artifacts/bucket_quality_r4_interleaved.json, n=3 seeds × 2 corpora)
-    # measures length-bucketed epochs 1.2-2.4% below the flat Recall@10
-    # means even with chunk-interleaved visiting, so the bucketed rate is
-    # reported as an opt-in row, not the headline.
+    # HEADLINE = the flat-padded path. Length-bucketed epochs are a
+    # DOCUMENTED NEGATIVE RESULT, no longer a bench row: the r4 grid
+    # measured them 1.2-2.4% below the flat Recall@10 means even
+    # chunk-interleaved (bucket_quality_r4_interleaved.json — the cost is
+    # length-HOMOGENEOUS batch composition), and the r5 composite-width
+    # attempt to mix lengths back at static shapes is quality-inconsistent
+    # AND slower than flat (composite_quality_r5.json). Flat is simply the
+    # right default on this workload.
     tiger_ex_s, tiger_stats = bench_tiger_train(n_buckets=1)
-    tiger_bucketed_ex_s, _bstats = bench_tiger_train(n_buckets=4)
     beam_seq_s = bench_tiger_beam_eval()
     sasrec_ex_s = bench_sasrec_train()
 
@@ -401,15 +405,11 @@ def main() -> None:
         "unit": "examples/s",
         "vs_baseline": round(tiger_ex_s / TIGER_TRAIN_BASELINE_EX_S, 2),
         "extra": {
-            "tiger_train_bucketed_examples_per_sec": {
-                "value": round(tiger_bucketed_ex_s, 1),
-                "vs_baseline": round(
-                    tiger_bucketed_ex_s / TIGER_TRAIN_BASELINE_EX_S, 2),
-                "note": "opt-in (TIGERConfig.target_len_buckets=4): "
-                        "costs 1.2-2.4% Recall@10 vs flat "
-                        "(bucket_quality_r4_interleaved.json); speedup is "
-                        "target-length-distribution dependent",
-            },
+            "length_buckets": "retired from the bench: 1.2-2.4% Recall@10 "
+                              "cost (bucket_quality_r4_interleaved.json); "
+                              "the composite-width mixing fix is measured "
+                              "quality-inconsistent and slower than flat "
+                              "(composite_quality_r5.json)",
             "tiger_beam20_eval_seqs_per_sec": {
                 "value": round(beam_seq_s, 1),
                 "vs_baseline": round(beam_seq_s / TIGER_EVAL_BASELINE_SEQ_S, 2),

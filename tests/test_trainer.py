@@ -209,3 +209,64 @@ def test_ckpt_every_epochs(tmp_path):
     assert tr2.start_epoch == 8
     np.testing.assert_allclose(np.asarray(tr2.params["w"]),
                                np.asarray(tr.params["w"]), atol=1e-6)
+
+
+def test_composite_plan_covers_every_row_once():
+    """Every row appears exactly once across the epoch; filler rows only
+    ride in groups at least as wide as themselves; mix draws ~the
+    requested fraction where donors suffice."""
+    rng = np.random.default_rng(0)
+    row_w = rng.choice([4, 8, 12, 16], size=500, p=[0.4, 0.3, 0.2, 0.1])
+    widths = [4, 8, 12, 16]
+    plan = Trainer._composite_plan(row_w, widths, batch_size=32, mix=0.5,
+                                   seed=7)
+    seen = []
+    for w, mat in plan:
+        ids = mat[mat >= 0]
+        assert (row_w[ids] <= w).all()  # fits its group width
+        seen.extend(ids.tolist())
+    assert sorted(seen) == list(range(500))
+    # the widest group should be ~half filler (natives: the 16s)
+    w_top, mat_top = next((w, m) for w, m in plan if w == 16)
+    ids = mat_top[mat_top >= 0]
+    frac_filler = float((row_w[ids] < 16).mean())
+    assert 0.3 < frac_filler < 0.7
+
+
+def test_composite_width_training(tmp_path):
+    """Composite mode trains through per-width jit specializations (labels
+    sliced to the group width) and converges; -100-masked losses make the
+    width slice semantics-preserving."""
+    n, W = 256, 16
+    rng = np.random.default_rng(0)
+    w_true = rng.normal(size=(8,)).astype(np.float32)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    y = x @ w_true
+    # labels: y replicated across a per-row target length, -100 padded
+    row_w = rng.choice([4, 8, 16], size=n)
+    labels = np.full((n, W), -100.0, np.float32)
+    for i, L in enumerate(row_w):
+        labels[i, :L] = y[i]
+    params = {"w": jnp.zeros(8)}
+
+    def loss_fn(p, batch, rng_):
+        pred = batch["x"] @ p["w"]
+        lab = batch["labels"]
+        m = (lab != -100.0) & batch["valid"][:, None]
+        se = jnp.where(m, (pred[:, None] - lab) ** 2, 0.0)
+        nv = jnp.maximum(m.sum(), 1)
+        return se.sum() / nv, {"sum_loss": se.sum(), "valid": m.sum()}
+
+    cfg = TrainerConfig(epochs=25, batch_size=64, lr=0.1,
+                        ckpt_dir=str(tmp_path / "cw"), early_stop_patience=99)
+    tr = Trainer(cfg, init_params=params, loss_fn=loss_fn,
+                 train_data={"x": x, "labels": labels},
+                 composite_widths=[4, 8, 16], row_widths=row_w,
+                 width_slice_keys=("labels",))
+    r = tr.fit()
+    assert r.train_losses[-1] < 0.05
+    # only listed widths specialize; the shortest pool may fully drain
+    # into wider groups as filler (mix=0.5), so 4 can legitimately be
+    # absent
+    ws = sorted(tr._composite_fns.keys())
+    assert set(ws) <= {4, 8, 16} and len(ws) >= 2 and 16 in ws
