@@ -127,10 +127,17 @@ class SASRecLarge(nn.Module):
         assert V % model_dim == 0, (
             f"padded vocab {V} must divide the model axis "
             f"{model_dim}; round item_num up")
+        # cfg.embedding.dtype="bfloat16" halves table HBM — doubly
+        # effective on TPU because XLA lane-pads (V, 64) f32 tables 2×
+        # (64 < the 128-lane tile), so a 10M×64 f32 table costs 4.77 GB
+        # padded per buffer; bf16 brings params+grad+optimizer temps of
+        # the single-chip 10M config back under one v5e's HBM
+        # (scripts/r5_sasrec_large_10m.py). Scores/losses still
+        # accumulate in f32 (preferred_element_type below).
         self.item_table = self.param(
             "item_table",
             nn.initializers.normal(stddev=1.0 / c.embedding.dim ** 0.5),
-            (V, c.embedding.dim))
+            (V, c.embedding.dim), jnp.dtype(c.embedding.dtype))
         self.pos_emb = nn.Embed(c.max_len, c.embedding.dim)
         attn_fn = None
         if self.ctx_axis is not None:

@@ -35,13 +35,17 @@ def main():
     ap.add_argument("--max-len", type=int, default=20)
     ap.add_argument("--chunk", type=int, default=50,
                     help="steps per jitted scan call")
-    ap.add_argument("--optimizer", default="sgd", choices=["sgd", "adam"],
-                    help="sgd default: adam's two moment buffers put the "
-                         "10M-row config at ~12.8 GB transient peak — over "
-                         "one v5e's HBM. Adam at 10M rows is exactly what "
-                         "the 'model'-axis table sharding exists for "
-                         "(per-shard moments); single-chip adam fits to "
-                         "~4M rows.")
+    ap.add_argument("--optimizer", default="adafactor",
+                    choices=["adafactor", "sgd", "adam"],
+                    help="adafactor default — THE big-table TPU optimizer: "
+                         "factored second moment costs ~(V+D) state "
+                         "(~40 MB here) where adam's two full moments put "
+                         "the 10M-row config at ~12.8 GB transient peak, "
+                         "over one v5e's HBM (adam at 10M rows is what the "
+                         "'model'-axis table sharding exists for: per-shard "
+                         "moments). sgd kept for the memory-floor "
+                         "comparison; measured to sit at the neutral-score "
+                         "loss floor on this task.")
     args = ap.parse_args()
 
     import jax
@@ -54,9 +58,14 @@ def main():
     from genrec_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(MeshConfig(data_axis=-1, model_axis=1))
+    # bf16 table storage: a (10M, 64) f32 table lane-pads 2× on TPU
+    # (4.77 GB per buffer) and blows one chip's HBM once grads +
+    # optimizer temps exist; bf16 halves every table-shaped buffer while
+    # scores keep f32 accumulation (models/sasrec_large.py setup note)
     cfg = SASRecLargeConfig(
         max_len=args.max_len,
-        embedding=ShardedEmbeddingConfig(vocab_size=args.rows, dim=64),
+        embedding=ShardedEmbeddingConfig(vocab_size=args.rows, dim=64,
+                                         dtype="bfloat16"),
         trainer=TrainerConfig(batch_size=args.batch))
     item_num = cfg.embedding.vocab_size - 1
     model = SASRecLarge(item_num=item_num, cfg=cfg, mesh=mesh,
@@ -76,15 +85,24 @@ def main():
              ).astype(np.int64) % item_num + 1
     seqs = np.sort(ranks, axis=1)  # correlated within a history
     inputs_all = seqs[:, :-1].astype(np.int32)
-    targets_all = seqs[:, 1:].astype(np.int32)
+    # targets fold onto a HOT 4096-item subset: inputs (and the uniform
+    # negatives) still exercise the full 10M-row table, while positives
+    # repeat densely enough that embedding-pair alignment — the signal
+    # that pushes the loss BELOW the neutral-score floor of 65·ln2 —
+    # happens within a smoke-scale step budget. (With 10M-way-unique
+    # targets the loss halves from init but then sits at the floor for
+    # far longer than a smoke run; measured in an earlier revision.)
+    targets_all = (((seqs[:, 1:] - 1) % 4096) + 1).astype(np.int32)
 
     x0 = jnp.asarray(inputs_all[:args.batch])
     params = SASRecLarge(item_num=item_num, cfg=cfg, mesh=mesh,
                          use_sharded=False).init(jax.random.PRNGKey(0), x0)
     from genrec_tpu.parallel.sharding import shard_params
     params = shard_params(params, mesh)
-    tx = (optax.adam(1e-3) if args.optimizer == "adam"
-          else optax.sgd(2.0))
+    tx = {"adam": lambda: optax.adam(1e-3),
+          "sgd": lambda: optax.sgd(2.0),
+          "adafactor": lambda: optax.adafactor(learning_rate=3e-2),
+          }[args.optimizer]()
     opt = tx.init(params)
     inputs_all = jnp.asarray(inputs_all)
     targets_all = jnp.asarray(targets_all)
