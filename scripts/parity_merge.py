@@ -56,6 +56,10 @@ DEFAULT_INPUTS = [
     # listed last so the fixed-adapter cells replace the r2/r3 ones
     "artifacts/parity_r4_tpu_prefix.json",
     "artifacts/parity_r4_tpu_prefix_m4445.json",
+    # r5 tpu SASRec rerun: the blocks now apply the reference's
+    # nn.MultiheadAttention attention-weight dropout (advisor r4 finding);
+    # listed last so the faithful-regularization cells replace the r2 ones
+    "artifacts/parity_r5_tpu_sasrec.json",
 ]
 
 
@@ -120,7 +124,10 @@ def main() -> None:
         "decoding is a genrec-tpu improvement, off for parity — see "
         "`artifacts/ablation_tiger_r3.json` for what it adds). SASRec uses "
         "torch-matching N(0,1) embedding init so the early-stop protocol "
-        "follows the reference's val-loss trajectory.",
+        "follows the reference's val-loss trajectory; its r5 cells train "
+        "with the reference's attention-WEIGHT dropout "
+        "(`nn.MultiheadAttention(..., dropout)`, `SASRec/model.py:31-32`) "
+        "restored in the tpu blocks.",
         "",
         "The early-stop-on-val-loss protocol has large run-to-run variance "
         "on these corpora, so pooled mean [min–max] over all "
