@@ -317,3 +317,73 @@ def test_sasrec_large_two_process_sharded_table(tmp_path):
     np.testing.assert_allclose(r0[0], l1a, rtol=1e-5)
     np.testing.assert_allclose(r0[1], l2a, rtol=1e-5)
     assert r0[1] < r0[0]  # the optimizer step descended
+
+
+STREAMING_DRIVER = """
+import os, sys
+pid, nproc, port, ndev = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(sys.argv[4])
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", ndev)
+from genrec_tpu.parallel.mesh import initialize_multihost
+if nproc > 1:
+    initialize_multihost(f"localhost:{{port}}", nproc, pid)
+import numpy as np
+import jax.numpy as jnp
+from genrec_tpu.configs import TrainerConfig, MeshConfig
+from genrec_tpu.parallel.auto import dp_shardings
+from genrec_tpu.parallel.mesh import process_rows
+from genrec_tpu.train.trainer import Trainer
+
+rng = np.random.default_rng(0)
+n, d = 64, 8
+w_true = rng.normal(size=(d,)).astype(np.float32)
+x = rng.normal(size=(n, d)).astype(np.float32)
+y = (x @ w_true).astype(np.float32)
+
+def loss_fn(p, batch, rng_):
+    pred = batch["x"] @ p["w"]
+    se = (pred - batch["y"]) ** 2
+    return se.mean(), {{"sum_loss": se.sum(),
+                        "valid": jnp.asarray(float(len(se)))}}
+
+mesh, bs, rs = dp_shardings(MeshConfig())
+cfg = TrainerConfig(epochs=3, batch_size=16, lr=0.1, shard_dataset=False,
+                    ckpt_dir=sys.argv[5], early_stop_patience=99)
+tr = Trainer(cfg, init_params={{"w": jnp.zeros(d)}}, loss_fn=loss_fn,
+             batch_sharding=bs, replicate_sharding=rs)
+
+# STREAMING factory path: each process's iterator yields ITS local rows
+# of every global batch (Trainer._put uses make_array_from_process_local_data)
+lo, hi = process_rows(bs, 16)
+
+def batches(epoch):
+    order = np.random.default_rng(epoch).permutation(n)
+    for s in range(0, n, 16):
+        rows = order[s:s + 16]
+        yield {{"x": x[rows][lo:hi], "y": y[rows][lo:hi]}}
+
+res = tr.fit(batches)
+print("SLOSS:" + ",".join(f"{{v:.9f}}" for v in res.train_losses), flush=True)
+if nproc > 1:
+    jax.distributed.shutdown()
+""".format(repo=REPO)
+
+
+def test_streaming_factory_path_two_process(tmp_path):
+    """The non-device-resident (batch factory) path also crosses
+    processes: each process feeds its process_rows slice of every batch;
+    losses must equal the 1-process run's exactly."""
+    o1 = _run_driver(STREAMING_DRIVER, 1, 4, [tmp_path / "a"])
+    o2 = _run_driver(STREAMING_DRIVER, 2, 2, [tmp_path / "b"])
+
+    def parse(out):
+        m = re.search(r"SLOSS:(\S+)", out)
+        assert m, out[-1500:]
+        return [float(v) for v in m.group(1).split(",")]
+
+    l1, l2a, l2b = parse(o1[0]), parse(o2[0]), parse(o2[1])
+    assert l2a == l2b
+    np.testing.assert_allclose(l1, l2a, rtol=1e-6)
+    assert l1[-1] < l1[0]

@@ -434,3 +434,20 @@ def test_ring_attention_dp_cp_mesh(mesh_2x4):
     ref = _xla_attention(q, q, q, None, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_process_rows_and_make_global_array(mesh_2x4):
+    """Single-process semantics of the per-host loader helpers: one
+    process owns ALL rows; make_global_array round-trips both host-global
+    and 'process-local' (here: full) data under either sharding."""
+    from genrec_tpu.parallel.mesh import make_global_array, process_rows
+
+    bs = batch_spec(mesh_2x4)
+    lo, hi = process_rows(bs, 32)
+    assert (lo, hi) == (0, 32)
+    x = np.arange(32 * 4, dtype=np.float32).reshape(32, 4)
+    g1 = make_global_array(x, bs)
+    g2 = make_global_array(x[lo:hi], bs, process_local=True)
+    np.testing.assert_array_equal(np.asarray(g1), x)
+    np.testing.assert_array_equal(np.asarray(g2), x)
+    assert g1.sharding.spec == bs.spec
