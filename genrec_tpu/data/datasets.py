@@ -204,11 +204,7 @@ def bucket_by_target_len(arrays: Dict[str, np.ndarray], n_buckets: int,
     """
     labels = arrays[label_key]
     lens = (labels != -100).sum(axis=1)
-    qs = np.quantile(lens, [(i + 1) / n_buckets for i in range(n_buckets)])
-    widths = sorted({int(np.ceil(q / code_dim) * code_dim) for q in qs})
-    if widths and widths[-1] < labels.shape[1]:
-        # ensure the top bucket still fits the longest row
-        widths[-1] = int(np.ceil(lens.max() / code_dim) * code_dim)
+    widths = _quantile_widths(lens, n_buckets, code_dim)
     buckets = []
     lower = -1
     for w in widths:
@@ -222,6 +218,16 @@ def bucket_by_target_len(arrays: Dict[str, np.ndarray], n_buckets: int,
     return buckets
 
 
+def _quantile_widths(lens: np.ndarray, n_buckets: int,
+                     code_dim: int) -> List[int]:
+    """Ascending static widths at target-length quantiles, rounded up to
+    whole items; the 1.0-quantile makes the top width cover lens.max().
+    Shared by bucket_by_target_len and target_len_widths so the two
+    modes partition on identical boundaries by construction."""
+    qs = np.quantile(lens, [(i + 1) / n_buckets for i in range(n_buckets)])
+    return sorted({int(np.ceil(q / code_dim) * code_dim) for q in qs})
+
+
 def target_len_widths(arrays: Dict[str, np.ndarray], n_buckets: int,
                       code_dim: int = 4, label_key: str = "labels"):
     """(row_widths, widths) for the Trainer's COMPOSITE width mode: the
@@ -232,10 +238,7 @@ def target_len_widths(arrays: Dict[str, np.ndarray], n_buckets: int,
     see TrainerConfig.composite_mix)."""
     labels = arrays[label_key]
     lens = (labels != -100).sum(axis=1)
-    qs = np.quantile(lens, [(i + 1) / n_buckets for i in range(n_buckets)])
-    widths = sorted({int(np.ceil(q / code_dim) * code_dim) for q in qs})
-    if widths and widths[-1] < labels.shape[1]:
-        widths[-1] = int(np.ceil(lens.max() / code_dim) * code_dim)
+    widths = _quantile_widths(lens, n_buckets, code_dim)
     row_widths = np.ceil(lens / code_dim).astype(np.int64) * code_dim
     return row_widths, widths
 

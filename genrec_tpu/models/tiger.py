@@ -12,11 +12,9 @@ unconstrained; ``constrained_decoding='none'`` reproduces that exactly).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from genrec_tpu.configs import TIGERConfig

@@ -12,7 +12,6 @@ from __future__ import annotations
 from typing import Optional
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from genrec_tpu.configs import TIGERPrefixConfig

@@ -210,7 +210,8 @@ class Trainer:
             out = {}
             n_pad = None
             for k, v in data.items():
-                if isinstance(v, jax.Array) and v.sharding.mesh == self._mesh:
+                if isinstance(v, jax.Array) and \
+                        getattr(v.sharding, "mesh", None) == self._mesh:
                     out[k] = v  # pre-placed by a per-host loader
                     n_here = v.shape[0]
                 else:

@@ -62,6 +62,8 @@ def build_eval(num_beams=20, n_batches=4, B=256):
                          jnp.int32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batches[0], masks[0],
                                  labels)
+    dims = {"num_beams": num_beams, "n_batches": n_batches, "B": B,
+            "enc_len": seq}
 
     @jax.jit
     def eval_scan(params, batches, masks):
@@ -76,7 +78,7 @@ def build_eval(num_beams=20, n_batches=4, B=256):
                               (batches, masks))
         return acc
 
-    return cfg, eval_scan, (params, batches, masks)
+    return cfg, eval_scan, (params, batches, masks), dims
 
 
 def analytic_flops(cfg, B, num_beams):
@@ -116,8 +118,8 @@ def analytic_flops(cfg, B, num_beams):
 def main():
     import jax
 
-    cfg, eval_scan, args = build_eval()
-    n_batches, B, beams = 4, 256, 20
+    cfg, eval_scan, args, dims = build_eval()
+    n_batches, B, beams = dims["n_batches"], dims["B"], dims["num_beams"]
 
     t = time.perf_counter()
     float(np.asarray(eval_scan(*args)))
@@ -159,7 +161,7 @@ def main():
 
     out = {
         "config": {"B": B, "num_beams": beams, "n_batches": n_batches,
-                   "d_model": cfg.arch.d_model, "enc_len": 80,
+                   "d_model": cfg.arch.d_model, "enc_len": dims["enc_len"],
                    "max_gen_len": cfg.max_gen_len},
         "seqs_per_sec": round(seqs_per_s, 1),
         "ms_per_batch_call": round(ms_per_call, 3),

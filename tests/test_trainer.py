@@ -270,3 +270,21 @@ def test_composite_width_training(tmp_path):
     # absent
     ws = sorted(tr._composite_fns.keys())
     assert set(ws) <= {4, 8, 16} and len(ws) >= 2 and 16 in ws
+
+
+def test_sharded_dataset_accepts_plain_device_arrays(tmp_path):
+    """Regression: a dataset value that is a jax.Array WITHOUT a
+    NamedSharding (plain device array → SingleDeviceSharding, which has
+    no .mesh) must fall through to the pad-and-shard path instead of
+    crashing the pre-placed-array probe."""
+    from genrec_tpu.parallel.auto import dp_shardings
+    data, params, loss_fn = _linear_regression_setup(n=64)
+    data = {k: jnp.asarray(v) for k, v in data.items()}  # plain jax.Arrays
+    mesh, bs, rs = dp_shardings()
+    cfg = TrainerConfig(epochs=2, batch_size=32, lr=0.1, shard_dataset=True,
+                        ckpt_dir=str(tmp_path / "pa"), early_stop_patience=9)
+    tr = Trainer(cfg, init_params=params, loss_fn=loss_fn,
+                 batch_sharding=bs, replicate_sharding=rs,
+                 train_data=data, val_data=data)
+    r = tr.fit()
+    assert np.isfinite(r.train_losses[-1])
