@@ -288,3 +288,27 @@ def test_sharded_dataset_accepts_plain_device_arrays(tmp_path):
                  train_data=data, val_data=data)
     r = tr.fit()
     assert np.isfinite(r.train_losses[-1])
+
+
+def test_composite_plan_property_fuzz():
+    """Property fuzz across random length distributions, widths, batch
+    sizes and mixes: exactly-once coverage and width-fit must hold
+    everywhere."""
+    rng = np.random.default_rng(123)
+    for trial in range(12):
+        n = int(rng.integers(5, 400))
+        k = int(rng.integers(1, 5))
+        widths = sorted(rng.choice(np.arange(1, 40) * 4, size=k,
+                                   replace=False).tolist())
+        row_w = rng.choice(widths, size=n,
+                           p=rng.dirichlet(np.ones(k))).astype(np.int64)
+        bs = int(rng.choice([8, 16, 64, 512]))
+        mix = float(rng.choice([0.0, 0.25, 0.5, 0.9]))
+        plan = Trainer._composite_plan(row_w, widths, bs, mix, seed=trial)
+        seen = []
+        for w, mat in plan:
+            assert mat.shape[1] == bs
+            ids = mat[mat >= 0]
+            assert (row_w[ids] <= w).all(), (trial, w)
+            seen.extend(ids.tolist())
+        assert sorted(seen) == list(range(n)), trial
