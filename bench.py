@@ -155,8 +155,8 @@ def bench_tiger_train(epochs: int = 4, n_buckets: int = 4):
     measured 1.2-2.4% below the flat Recall@10 means, see
     `artifacts/bucket_quality_r4_interleaved.json`). Every example trains
     once per epoch either way, so ex/s is comparable end-to-end. (The
-    fused Pallas attention kernel stays at its measured-neutral default
-    "off" here — see configs.T5ArchConfig.)
+    fused Pallas attention kernel's "auto" default never engages here —
+    the parity config trains with dropout; see configs.T5ArchConfig.)
     """
     import jax
     import jax.numpy as jnp
@@ -318,6 +318,77 @@ def bench_tiger_beam_eval(calls: int = 5, n_batches: int = 4,
     return calls * n_batches * B / dt
 
 
+def bench_tiger_prefix_train(epochs: int = 4) -> float:
+    """Scan-stepped TIGER-PREFIX training (3 cross-attention adapters +
+    prof-embedding prefix tokens). This is the LIKE-FOR-LIKE row against
+    the 3.1K ex/s GPU baseline: BASELINE.md's "TIGER training ≈12 it/s ×
+    256" figure is read off `RQVAE-T5-prefix/output.txt`'s epoch progress
+    bars — i.e. the reference measured the PREFIX model."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from genrec_tpu.configs import TIGERPrefixConfig
+    from genrec_tpu.models.tiger_prefix import TIGERPrefix
+
+    cfg = TIGERPrefixConfig()
+    model = TIGERPrefix(cfg)
+    B = 256
+    N = 20 * B
+    rng = np.random.default_rng(0)
+    host = _tiger_corpus(cfg, N, rng)
+    data = {k: jax.device_put(jnp.asarray(v)) for k, v in host.items()}
+    profs = [jax.device_put(jnp.asarray(
+        rng.normal(size=(N, cfg.num_prof_vectors, cfg.bert_dim))
+        .astype(np.float32))) for _ in range(3)]
+    steps = N // B
+    idx = np.arange(N, dtype=np.int32)
+    rng.shuffle(idx)
+    idx_mat = jax.device_put(jnp.asarray(idx.reshape(steps, B)))
+
+    params = jax.jit(model.init)(
+        jax.random.PRNGKey(0), data["input_ids"][:B],
+        data["attention_mask"][:B], data["labels"][:B],
+        profs[0][:B], profs[1][:B], profs[2][:B])
+    tx = optax.adam(cfg.trainer.lr)
+    opt_state = tx.init(params)
+
+    def epoch(params, opt_state, key, idx_mat, data, p1, p2, p3):
+        def body(carry, idx):
+            params, opt_state, key = carry
+            key, sub = jax.random.split(key)
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            bp = [jnp.take(p, idx, axis=0) for p in (p1, p2, p3)]
+
+            def loss_fn(p):
+                loss, _ = model.apply(
+                    p, batch["input_ids"], batch["attention_mask"],
+                    batch["labels"], *bp, deterministic=False,
+                    rngs={"dropout": sub})
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, key), loss
+
+        (params, opt_state, key), losses = jax.lax.scan(
+            body, (params, opt_state, key), idx_mat)
+        return params, opt_state, key, losses[-1]
+
+    fit = jax.jit(epoch, donate_argnums=(0, 1))
+    key = _rbg_key(2)
+    params, opt_state, key, loss = fit(params, opt_state, key, idx_mat,
+                                       data, *profs)
+    _fetch(loss)
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        params, opt_state, key, loss = fit(params, opt_state, key, idx_mat,
+                                           data, *profs)
+    _fetch(loss)
+    return epochs * N / (time.perf_counter() - t0)
+
+
 def bench_sasrec_train(epochs: int = 4, steps: int = 50) -> float:
     """Scan-stepped SASRec training (full-vocab BCE), device-resident."""
     import jax
@@ -394,6 +465,7 @@ def main() -> None:
     tiger_ex_s, tiger_stats = bench_tiger_train(n_buckets=1)
     beam_seq_s = bench_tiger_beam_eval()
     sasrec_ex_s = bench_sasrec_train()
+    prefix_ex_s = bench_tiger_prefix_train()
 
     kind, peak = _peak_flops()
     mfu = (round(tiger_stats["model_tflops_per_sec"] * 1e12 / peak, 5)
@@ -417,6 +489,19 @@ def main() -> None:
             "sasrec_train_examples_per_sec": {
                 "value": round(sasrec_ex_s, 1),
                 "vs_baseline": round(sasrec_ex_s / SASREC_TRAIN_BASELINE_EX_S, 2),
+            },
+            "tiger_prefix_train_examples_per_sec": {
+                "value": round(prefix_ex_s, 1),
+                "vs_baseline": round(
+                    prefix_ex_s / TIGER_TRAIN_BASELINE_EX_S, 2),
+                "note": "LIKE-FOR-LIKE model vs the 3.1K GPU bar: "
+                        "BASELINE.md's 12 it/s x 256 is read off "
+                        "RQVAE-T5-prefix/output.txt — the reference "
+                        "measured THIS (d128, 4-dec-layer) model, and it "
+                        "trained 4-token decoder labels where this row "
+                        "trains honest 156-token flat-padded "
+                        "teacher-forcing targets (~39x the decoder-token "
+                        "work per example)",
             },
             "tiger_train_step_ms": tiger_stats["step_ms"],
             "tiger_train_flops_per_example": tiger_stats["flops_per_example"],
