@@ -164,12 +164,23 @@ def _serve(args):
         recommender = HybridRecommender(catalog=catalog,
                                         llm_client=make_env_llm_client())
 
+    # trained-model route: /api/v1/recommend/model serves the best SASRec
+    # checkpoint when one exists alongside the interactions file
+    model_fn = None
+    inter_h5 = os.path.join(args.data_dir, "user_item_interact.h5")
+    if args.sasrec_ckpt and os.path.exists(inter_h5):
+        from genrec_tpu.serving.model_fn import sasrec_model_fn
+        model_fn = sasrec_model_fn(args.sasrec_ckpt, inter_h5)
+        if model_fn is None:
+            print(f"no best checkpoint under {args.sasrec_ckpt}; "
+                  "/recommend/model will 503", file=sys.stderr)
+
     settings = Settings.from_env()
     settings.host, settings.port = args.host, args.port
     if args.db:
         settings.database_path = args.db
     ctx = AppContext.create(settings=settings, recommender=recommender,
-                            catalog=catalog)
+                            catalog=catalog, model_recommend_fn=model_fn)
     if args.fastapi:
         import uvicorn
         uvicorn.run(create_fastapi_app(ctx), host=args.host, port=args.port)
@@ -235,6 +246,10 @@ def main(argv=None):
     sp.add_argument("--port", type=int, default=8000)
     sp.add_argument("--fastapi", action="store_true",
                     help="serve via FastAPI/uvicorn instead of stdlib")
+    sp.add_argument("--sasrec-ckpt", default=None,
+                    help="checkpoint dir of a trained SASRec (cli sasrec "
+                         "--ckpt-dir ...); wires /api/v1/recommend/model "
+                         "to its best checkpoint")
     sp.set_defaults(fn=_serve)
 
     sp = sub.add_parser("init-db", help="create + seed the app database")

@@ -201,3 +201,51 @@ def test_word_drop_augmentation():
     b = encode_item_texts({1: "a b c d e f"}, encoder=None, dim=16,
                           word_drop_ratio=0.5, seed=3)
     np.testing.assert_allclose(a, b)
+
+
+def test_sasrec_model_fn_serves_best_checkpoint(tmp_path):
+    """Train a tiny SASRec, then serve its BEST checkpoint through the
+    /api/v1/recommend/model handler: valid ids, no padding, no history,
+    exactly top_k of them (the loop the reference never closed — its
+    backend never calls its trained models)."""
+    import dataclasses
+
+    from genrec_tpu.backend.api import match_route
+    from genrec_tpu.configs import SASRecConfig, TrainerConfig
+    from genrec_tpu.data import synthetic
+    from genrec_tpu.data.contracts import write_interactions
+    from genrec_tpu.pipelines import sasrec_pipeline
+    from genrec_tpu.serving.model_fn import sasrec_model_fn
+
+    data = synthetic.make_interactions(num_users=40, num_items=30,
+                                       min_len=4, max_len=10, seed=0)
+    h5 = str(tmp_path / "user_item_interact.h5")
+    write_interactions(h5, data)
+    ckpt = str(tmp_path / "ckpt")
+    cfg = SASRecConfig(
+        data_path=h5, d=8, num_blocks=1, num_heads=1, mlp_layer=16,
+        trainer=TrainerConfig(batch_size=16, eval_batch_size=16, epochs=2,
+                              lr=1e-3, ckpt_dir=ckpt,
+                              early_stop_patience=9))
+    sasrec_pipeline.train(cfg)
+
+    fn = sasrec_model_fn(ckpt, h5, cfg=cfg)
+    assert fn is not None
+    history = [1, 2, 3]
+    items = fn(history, 5)
+    assert len(items) == 5
+    assert all(1 <= i <= 30 for i in items)
+    assert not set(items) & set(history)
+
+    # and through the real route handler
+    handler, p = match_route("POST", "/api/v1/recommend/model")
+    import types
+    ctx = types.SimpleNamespace(model_recommend_fn=fn, catalog=None,
+                                state={})
+    status, body = handler(ctx, p, {}, {"history": history, "top_k": 4})
+    assert status == 200
+    got = [r["item_id"] for r in body["data"]]
+    assert len(got) == 4 and not set(got) & set(history)
+
+    # no checkpoint → None (route would 503)
+    assert sasrec_model_fn(str(tmp_path / "empty"), h5, cfg=cfg) is None
