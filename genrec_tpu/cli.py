@@ -164,16 +164,23 @@ def _serve(args):
         recommender = HybridRecommender(catalog=catalog,
                                         llm_client=make_env_llm_client())
 
-    # trained-model route: /api/v1/recommend/model serves the best SASRec
-    # checkpoint when one exists alongside the interactions file
+    # trained-model route: /api/v1/recommend/model serves a best
+    # checkpoint — TIGER generative retrieval (trie-constrained beams
+    # over the item-code table) when --tiger-ckpt is given, else SASRec
+    # full-vocab ranking via --sasrec-ckpt
     model_fn = None
+    codes_npy = os.path.join(args.data_dir, "course",
+                             "course_rqvae_codes.npy")
     inter_h5 = os.path.join(args.data_dir, "user_item_interact.h5")
-    if args.sasrec_ckpt and os.path.exists(inter_h5):
+    if args.tiger_ckpt and os.path.exists(codes_npy):
+        from genrec_tpu.serving.model_fn import tiger_model_fn
+        model_fn = tiger_model_fn(args.tiger_ckpt, codes_npy)
+    elif args.sasrec_ckpt and os.path.exists(inter_h5):
         from genrec_tpu.serving.model_fn import sasrec_model_fn
         model_fn = sasrec_model_fn(args.sasrec_ckpt, inter_h5)
-        if model_fn is None:
-            print(f"no best checkpoint under {args.sasrec_ckpt}; "
-                  "/recommend/model will 503", file=sys.stderr)
+    if (args.tiger_ckpt or args.sasrec_ckpt) and model_fn is None:
+        print("no best checkpoint found for the requested model; "
+              "/recommend/model will 503", file=sys.stderr)
 
     settings = Settings.from_env()
     settings.host, settings.port = args.host, args.port
@@ -250,6 +257,11 @@ def main(argv=None):
                     help="checkpoint dir of a trained SASRec (cli sasrec "
                          "--ckpt-dir ...); wires /api/v1/recommend/model "
                          "to its best checkpoint")
+    sp.add_argument("--tiger-ckpt", default=None,
+                    help="checkpoint dir of a trained TIGER; wires "
+                         "/api/v1/recommend/model to trie-constrained "
+                         "generative retrieval (takes precedence over "
+                         "--sasrec-ckpt)")
     sp.set_defaults(fn=_serve)
 
     sp = sub.add_parser("init-db", help="create + seed the app database")

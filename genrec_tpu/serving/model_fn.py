@@ -69,3 +69,73 @@ def sasrec_model_fn(ckpt_dir: str, data_path: str,
         return [int(t) for t in np.argsort(-logits)[:k]]
 
     return fn
+
+
+def tiger_model_fn(ckpt_dir: str, codes_path: str,
+                   cfg=None) -> Optional[Callable[[List[int], int], List[int]]]:
+    """Serve the best TIGER checkpoint: GENERATIVE retrieval behind
+    `/api/v1/recommend/model`.
+
+    History item-ids map to their semantic-ID token sequence
+    (`data/tiger_tokens`), the beam decodes with the TRIE constraint over
+    the actual item-code table — every decoded tuple is a real item — and
+    the code tuples map back to item ids. One fixed beam width keeps a
+    single jit specialization across requests; the first call pays the
+    compile. Returns None when no best checkpoint exists.
+    """
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from genrec_tpu.configs import TIGERConfig
+    from genrec_tpu.data import tiger_tokens
+    from genrec_tpu.data.contracts import read_codes
+    from genrec_tpu.models.tiger import TIGER, generate, make_constraint
+    from genrec_tpu.train.checkpoint import CheckpointStore, abstract_like
+
+    cfg = cfg or TIGERConfig(code_path=codes_path)
+    codes = read_codes(codes_path)                      # (N_items+1, 4)
+    token_table = tiger_tokens.codes_to_token_table(codes, cfg.codebook_size)
+    tup2item = {tuple(map(int, token_table[i])): i
+                for i in range(1, len(token_table))}
+    model = TIGER(cfg)
+    seq = cfg.max_len * cfg.code_dim
+    init = jax.jit(model.init)(jax.random.PRNGKey(0),
+                               jnp.zeros((1, seq), jnp.int32),
+                               jnp.ones((1, seq), jnp.int32),
+                               jnp.ones((1, cfg.code_dim), jnp.int32))
+    store = CheckpointStore(ckpt_dir)
+    restored = store.restore_best(abstract_like({"params": init}))
+    if restored is None:
+        return None
+    params = restored["params"]
+    constraint = make_constraint(
+        dataclasses.replace(cfg, constrained_decoding="trie"), codes)
+    beams = max(cfg.beam_size, 20, cfg.max_len)  # headroom over history dedup
+
+    @jax.jit
+    def gen(p, ii, am):
+        return generate(model, p, ii, am, num_beams=beams,
+                        constraint=constraint)
+
+    def fn(history: List[int], top_k: int) -> List[int]:
+        ids = [int(i) for i in history
+               if 0 < int(i) < len(token_table)][-cfg.max_len:]
+        ii = np.zeros((1, seq), np.int32)
+        if ids:
+            toks = token_table[np.asarray(ids, np.int64)].reshape(-1)
+            ii[0, seq - len(toks):] = toks
+        am = (ii != 0).astype(np.int32)
+        tokens, _scores = gen(params, jnp.asarray(ii), jnp.asarray(am))
+        out: List[int] = []
+        hist = set(ids)
+        for beam in np.asarray(tokens)[0]:          # best-first
+            item = tup2item.get(tuple(map(int, beam[1:1 + cfg.code_dim])))
+            if item is not None and item not in hist and item not in out:
+                out.append(int(item))
+            if len(out) >= int(top_k):
+                break
+        return out
+
+    return fn

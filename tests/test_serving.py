@@ -249,3 +249,50 @@ def test_sasrec_model_fn_serves_best_checkpoint(tmp_path):
 
     # no checkpoint → None (route would 503)
     assert sasrec_model_fn(str(tmp_path / "empty"), h5, cfg=cfg) is None
+
+
+def test_tiger_model_fn_generative_retrieval(tmp_path):
+    """Train a tiny TIGER, then serve GENERATIVE retrieval from its best
+    checkpoint: history items -> semantic-ID tokens -> trie-constrained
+    beams -> item ids. Every returned id must be a real item outside the
+    history."""
+    import dataclasses
+    import os
+
+    from genrec_tpu.configs import T5ArchConfig, TIGERConfig, TrainerConfig
+    from genrec_tpu.data import contracts, synthetic, tiger_tokens
+    from genrec_tpu.pipelines import tiger_pipeline
+    from genrec_tpu.serving.model_fn import tiger_model_fn
+
+    data = synthetic.make_interactions(num_users=40, num_items=25,
+                                       min_len=3, max_len=6, seed=0)
+    codes = synthetic.make_codes(25, seed=0)
+    train, test = tiger_tokens.build_tiger_splits(
+        data.item_id_lists, data.user_ids, codes)
+    codes_npy = str(tmp_path / "course_rqvae_codes.npy")
+    contracts.write_codes(codes_npy, codes)
+    contracts.write_tiger_split(str(tmp_path / "train.h5"), train)
+    contracts.write_tiger_split(str(tmp_path / "test.h5"), test)
+
+    cfg = TIGERConfig(
+        code_path=codes_npy,
+        train_dataset_path=str(tmp_path / "train.h5"),
+        test_dataset_path=str(tmp_path / "test.h5"),
+        arch=T5ArchConfig(num_layers=1, num_decoder_layers=1, d_model=16,
+                          d_ff=32, num_heads=2, d_kv=8),
+        max_len=4,
+        trainer=TrainerConfig(batch_size=16, eval_batch_size=16, epochs=2,
+                              lr=1e-3, ckpt_dir=str(tmp_path / "ck"),
+                              early_stop_patience=9))
+    tiger_pipeline.train(cfg)
+
+    fn = tiger_model_fn(str(tmp_path / "ck"), codes_npy, cfg=cfg)
+    assert fn is not None
+    history = [1, 2]
+    items = fn(history, 5)
+    assert 0 < len(items) <= 5
+    assert all(1 <= i <= 25 for i in items)
+    assert not set(items) & set(history)
+    assert len(items) == len(set(items))
+    # no checkpoint -> None
+    assert tiger_model_fn(str(tmp_path / "none"), codes_npy, cfg=cfg) is None
