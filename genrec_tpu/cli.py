@@ -172,13 +172,18 @@ def _serve(args):
     codes_npy = os.path.join(args.data_dir, "course",
                              "course_rqvae_codes.npy")
     inter_h5 = os.path.join(args.data_dir, "user_item_interact.h5")
+    item_emb_h5 = os.path.join(args.data_dir, "course_item_embs.h5")
     if args.tiger_ckpt and os.path.exists(codes_npy):
         from genrec_tpu.serving.model_fn import tiger_model_fn
         model_fn = tiger_model_fn(args.tiger_ckpt, codes_npy)
+    elif args.dense_t5_ckpt and os.path.exists(item_emb_h5):
+        from genrec_tpu.serving.model_fn import dense_t5_model_fn
+        model_fn = dense_t5_model_fn(args.dense_t5_ckpt, item_emb_h5)
     elif args.sasrec_ckpt and os.path.exists(inter_h5):
         from genrec_tpu.serving.model_fn import sasrec_model_fn
         model_fn = sasrec_model_fn(args.sasrec_ckpt, inter_h5)
-    if (args.tiger_ckpt or args.sasrec_ckpt) and model_fn is None:
+    if (args.tiger_ckpt or args.dense_t5_ckpt or args.sasrec_ckpt) \
+            and model_fn is None:
         print("no best checkpoint found for the requested model; "
               "/recommend/model will 503", file=sys.stderr)
 
@@ -261,7 +266,11 @@ def main(argv=None):
                     help="checkpoint dir of a trained TIGER; wires "
                          "/api/v1/recommend/model to trie-constrained "
                          "generative retrieval (takes precedence over "
-                         "--sasrec-ckpt)")
+                         "the other model flags)")
+    sp.add_argument("--dense-t5-ckpt", default=None,
+                    help="checkpoint dir of a trained DenseT5; wires "
+                         "/api/v1/recommend/model to encoder cosine "
+                         "retrieval")
     sp.set_defaults(fn=_serve)
 
     sp = sub.add_parser("init-db", help="create + seed the app database")

@@ -139,3 +139,67 @@ def tiger_model_fn(ckpt_dir: str, codes_path: str,
         return out
 
     return fn
+
+
+def dense_t5_model_fn(ckpt_dir: str, item_emb_h5: str, cfg=None,
+                      user_emb: Optional[np.ndarray] = None
+                      ) -> Optional[Callable[[List[int], int], List[int]]]:
+    """Serve the best DenseT5 checkpoint: encoder-retrieval behind
+    `/api/v1/recommend/model`.
+
+    History item-ids gather their BERT embeddings (right-padded to
+    ``cfg.max_seq_len``, `T5/data_vision.py:131-154` layout), the encoder
+    produces one query vector, and cosine top-k against the normalized
+    item table returns the items. ``user_emb`` optionally supplies the
+    position-0 profile embedding (zeros = cold profile — the route
+    carries history only). Returns None when no best checkpoint exists.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from genrec_tpu.configs import DenseT5Config
+    from genrec_tpu.data.contracts import read_item_embs
+    from genrec_tpu.models.dense_t5 import DenseT5
+    from genrec_tpu.train.checkpoint import CheckpointStore, abstract_like
+
+    cfg = cfg or DenseT5Config(item_emb_h5_path=item_emb_h5)
+    item_embs, _ = read_item_embs(item_emb_h5)
+    item_embs = np.asarray(item_embs, np.float32)
+    n_items = len(item_embs) - 1                     # row 0 = padding
+    norms = np.linalg.norm(item_embs, axis=1, keepdims=True)
+    item_norm = jnp.asarray(item_embs / np.maximum(norms, 1e-8))
+    L = cfg.max_seq_len
+    model = DenseT5(cfg)
+    init = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, L + 1, cfg.input_emb_dim), jnp.float32),
+        jnp.ones((1, L + 1), jnp.int32))
+    store = CheckpointStore(ckpt_dir)
+    restored = store.restore_best(abstract_like({"params": init}))
+    if restored is None:
+        return None
+    params = restored["params"]
+    prof = (np.zeros((cfg.input_emb_dim,), np.float32)
+            if user_emb is None else np.asarray(user_emb, np.float32))
+
+    @jax.jit
+    def rank(params, seq, mask):
+        _, pred = model.apply(params, seq, mask, None, deterministic=True)
+        scores = jnp.dot(pred, item_norm.T,
+                         preferred_element_type=jnp.float32)
+        return scores.at[:, 0].set(-1e9)
+
+    def fn(history: List[int], top_k: int) -> List[int]:
+        ids = [int(i) for i in history if 0 < int(i) <= n_items][-L:]
+        seq = np.zeros((1, L + 1, cfg.input_emb_dim), np.float32)
+        seq[0, 0] = prof
+        if ids:
+            seq[0, 1:1 + len(ids)] = item_embs[np.asarray(ids, np.int64)]
+        mask = (np.arange(L + 1)[None, :] <= len(ids)).astype(np.int32)
+        scores = np.asarray(rank(params, jnp.asarray(seq),
+                                 jnp.asarray(mask)))[0].copy()
+        scores[np.asarray(ids, np.int64)] = -np.inf  # rated exclusion
+        k = min(int(top_k), n_items)
+        return [int(t) for t in np.argsort(-scores)[:k]]
+
+    return fn

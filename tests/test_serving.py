@@ -296,3 +296,46 @@ def test_tiger_model_fn_generative_retrieval(tmp_path):
     assert len(items) == len(set(items))
     # no checkpoint -> None
     assert tiger_model_fn(str(tmp_path / "none"), codes_npy, cfg=cfg) is None
+
+
+def test_dense_t5_model_fn_retrieval(tmp_path):
+    """Train a tiny DenseT5, serve cosine retrieval from its best
+    checkpoint: valid, history-excluded ids from the real route shape."""
+    import dataclasses
+
+    from genrec_tpu.configs import DenseT5Config, T5ArchConfig, TrainerConfig
+    from genrec_tpu.data import contracts, synthetic
+    from genrec_tpu.pipelines import dense_t5_pipeline
+    from genrec_tpu.serving.model_fn import dense_t5_model_fn
+
+    data = synthetic.make_interactions(num_users=30, num_items=20,
+                                       min_len=4, max_len=8, seed=0)
+    item_embs = synthetic.make_item_embs(20, dim=32, num_topics=4, seed=1)
+    user_embs = synthetic.make_user_embs(data.num_users, dim=32, seed=2)
+    inter = str(tmp_path / "inter.h5")
+    iemb = str(tmp_path / "item_embs.h5")
+    uemb = str(tmp_path / "user_embs.h5")
+    contracts.write_interactions(inter, data)
+    contracts.write_item_embs(iemb, item_embs, meta={"model_name": "syn"})
+    contracts.write_user_embs(uemb, user_embs)
+
+    base = DenseT5Config()
+    cfg = dataclasses.replace(
+        base, rec_path=inter, item_emb_h5_path=iemb, user_emb_h5_path=uemb,
+        max_seq_len=6, input_emb_dim=32, target_emb_dim=32,
+        arch=dataclasses.replace(base.arch, num_layers=1, d_model=16,
+                                 d_ff=32, num_heads=2, d_kv=8),
+        trainer=dataclasses.replace(base.trainer, batch_size=16,
+                                    eval_batch_size=16, epochs=2,
+                                    ckpt_dir=str(tmp_path / "ck"),
+                                    early_stop_patience=9))
+    dense_t5_pipeline.train(cfg)
+
+    fn = dense_t5_model_fn(str(tmp_path / "ck"), iemb, cfg=cfg)
+    assert fn is not None
+    history = [3, 7]
+    items = fn(history, 5)
+    assert len(items) == 5
+    assert all(1 <= i <= 20 for i in items)
+    assert not set(items) & set(history)
+    assert dense_t5_model_fn(str(tmp_path / "no"), iemb, cfg=cfg) is None
